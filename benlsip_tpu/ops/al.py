@@ -1,0 +1,130 @@
+"""Augmented-Lagrangian evaluation and the matrix-free Gauss-Newton Hessian.
+
+TPU-native re-design of the reference's AL evaluation layer
+(`/root/reference/src/basic_tralcnlss.jl:6-137`):
+
+* the augmented Lagrangian  m(x) = 1/2 rᵀr + yᵀc + mu/2 cᵀc   (ref :44)
+* its gradient              g(x) = Jᵀr + Cᵀ(y + mu c)          (ref :45)
+* the Gauss-Newton Hessian  H    = JᵀJ + mu CᵀC, held matrix-free as the
+  triple (J, C, mu) — the reference's `AlHessian` struct (ref :6-10).
+
+Everything here is pure jnp: shapes are static, no Python control flow on
+traced values, so these functions jit, vmap (batch axis over independent
+instances) and shard (J/C row-blocked over a mesh axis; the reductions in
+`hv`/`vhv` then become `psum`s inserted by XLA under `shard_map`).
+
+The empty-constraint case p == 0 (no nonlinear constraints) is fully
+supported via zero-row C: `C @ v` is a (0,)-vector and all dot products are
+zero.  The reference crashes on this case (SURVEY.md §2.3 quirk 6).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class AlHessian(NamedTuple):
+    """Matrix-free Gauss-Newton Hessian of the augmented Lagrangian.
+
+    H = JᵀJ + mu CᵀC, stored as its factors — never materialized.
+    Mirrors `AlHessian` (ref `src/basic_tralcnlss.jl:6-10`).
+    """
+
+    J: Array    # (d, n) residual Jacobian
+    C: Array    # (p, n) nonlinear-constraint Jacobian (p may be 0)
+    mu: Array   # scalar penalty parameter
+
+
+def al_value(rx: Array, cx: Array, y: Array, mu: Array) -> Array:
+    """m(x) = 1/2 rᵀr + yᵀc + mu/2 cᵀc  (ref `src/basic_tralcnlss.jl:44`)."""
+    return 0.5 * jnp.vdot(rx, rx) + jnp.vdot(y, cx) + 0.5 * mu * jnp.vdot(cx, cx)
+
+
+def al_gradient(J: Array, C: Array, rx: Array, y_bar: Array) -> Array:
+    """g = Jᵀ rx + Cᵀ y_bar with y_bar = y + mu c  (ref `src/basic_tralcnlss.jl:45`)."""
+    return J.T @ rx + C.T @ y_bar
+
+
+def hv(H: AlHessian, v: Array) -> Array:
+    """Matrix-free H @ v = Jᵀ(Jv) + mu Cᵀ(Cv)  (ref `src/basic_tralcnlss.jl:102-106`).
+
+    Two GEMV pairs; under vmap these become batched GEMMs on the MXU, and in
+    the row-sharded large-instance mode the Jᵀ(Jv) contraction carries a psum.
+    """
+    return H.J.T @ (H.J @ v) + H.mu * (H.C.T @ (H.C @ v))
+
+
+def vhv(H: AlHessian, v: Array) -> Array:
+    """Quadratic form vᵀHv = ‖Jv‖² + mu ‖Cv‖²  (ref `src/basic_tralcnlss.jl:92-96`)."""
+    Jv = H.J @ v
+    Cv = H.C @ v
+    return jnp.vdot(Jv, Jv) + H.mu * jnp.vdot(Cv, Cv)
+
+
+def new_point(
+    x: Array,
+    y: Array,
+    mu: Array,
+    residuals: Callable[[Array], Array],
+    nlconstraints: Callable[[Array], Array],
+    jac_res: Callable[[Array], Array],
+    jac_nlcons: Callable[[Array], Array],
+) -> Tuple[Array, Array, Array, Array, Array, AlHessian]:
+    """Full evaluation at x: (rx, cx, y_bar, mx, g, H).
+
+    Mirrors `new_point` (ref `src/basic_tralcnlss.jl:32-49`).
+    """
+    rx = residuals(x)
+    cx = nlconstraints(x)
+    Jx = jac_res(x)
+    Cx = jac_nlcons(x)
+    y_bar = y + mu * cx
+    mx = al_value(rx, cx, y, mu)
+    g = al_gradient(Jx, Cx, rx, y_bar)
+    return rx, cx, y_bar, mx, g, AlHessian(Jx, Cx, mu)
+
+
+def evaluate_al(
+    x: Array,
+    y: Array,
+    mu: Array,
+    residuals: Callable[[Array], Array],
+    nlconstraints: Callable[[Array], Array],
+) -> Tuple[Array, Array, Array]:
+    """Value-only evaluation (no Jacobians): (rx, cx, mx).
+
+    Mirrors `evaluate_al` (ref `src/basic_tralcnlss.jl:51-61`) — used for the
+    trust-region ratio test, where Jacobians are only needed on acceptance.
+    """
+    rx = residuals(x)
+    cx = nlconstraints(x)
+    return rx, cx, al_value(rx, cx, y, mu)
+
+
+def first_derivatives(
+    x: Array,
+    y: Array,
+    mu: Array,
+    rx: Array,
+    cx: Array,
+    jac_res: Callable[[Array], Array],
+    jac_nlcons: Callable[[Array], Array],
+) -> Tuple[Array, Array, Array, Array]:
+    """(y_bar, Jx, Cx, g) at x given already-computed rx, cx.
+
+    Mirrors `first_derivatives` (ref `src/basic_tralcnlss.jl:63-77`).
+    """
+    Jx = jac_res(x)
+    Cx = jac_nlcons(x)
+    y_bar = y + mu * cx
+    g = al_gradient(Jx, Cx, rx, y_bar)
+    return y_bar, Jx, Cx, g
+
+
+def second_derivatives(Jx: Array, Cx: Array, mu: Array) -> AlHessian:
+    """Package the GN Hessian (ref `src/basic_tralcnlss.jl:79-85`)."""
+    return AlHessian(Jx, Cx, mu)

@@ -1,0 +1,75 @@
+"""Solver hyperparameter configuration.
+
+The reference exposes ~20 keyword hyperparameters with defaults on
+`tralcnllss` (`/root/reference/src/basic_tralcnlss.jl:177-197`) plus two
+hard-wired module consts for logging (ref :3-4, SURVEY.md §2.3 quirk 5).
+Here they form one frozen (hashable, jit-static) dataclass with *exactly*
+the reference defaults, and the logging side effects become proper knobs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Hyperparameters of the TRALCNLLS iteration.
+
+    Field-by-field mirror of the reference keyword list
+    (ref `src/basic_tralcnlss.jl:177-197`); tolerances defaulting to
+    sqrt(eps(T)) are encoded as None and resolved against the working dtype
+    at solve time (ref :181-182).
+    """
+
+    # Outer augmented-Lagrangian loop (ref :177-186)
+    mu0: float = 10.0            # initial penalty parameter
+    tau: float = 100.0           # penalty increase factor
+    omega0: float = 1.0          # initial criticality tolerance scale
+    eta0: float = 1.0            # initial feasibility tolerance scale
+    feas_tol: Optional[float] = None   # ‖c(x)‖ tolerance; None -> sqrt(eps)
+    crit_tol: Optional[float] = None   # criticality tolerance; None -> sqrt(eps)
+    k_crit: float = 1.0          # omega = omega0 / mu^k_crit (ref :153-163)
+    k_feas: float = 0.1          # eta   = eta0   / mu^k_feas
+    beta_crit: float = 1.0       # omega tightening exponent on accept (ref :281)
+    beta_feas: float = 0.9       # eta tightening exponent on accept (ref :282)
+
+    # Trust-region control (ref :187-191)
+    eta1: float = 0.25           # step acceptance threshold
+    eta2: float = 0.75           # very-successful threshold
+    gamma1: float = 0.0625       # radius decrease factor
+    gamma2: float = 2.0          # radius increase factor
+    gamma_c: float = 10.0        # legacy Cauchy expansion factor (ref :191)
+
+    # Inner/CG tolerances (ref :192-194)
+    kappa1: float = 1e-2         # legacy Cauchy sufficient-decrease fraction
+    kappa2: float = 0.1          # CG relative tolerance
+    kappa3: float = 0.1          # minor-loop reduced-gradient fraction
+
+    # Iteration caps (ref :195-197)
+    max_outer_iter: int = 500
+    max_inner_iter: int = 500
+    max_minor_iter: int = 50
+
+    # New knobs (absent in the reference)
+    tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
+    chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
+    verbose: bool = False        # iteration log via host callback (the
+                                 # reference hard-wires verbose=true, ref :3)
+
+    def __post_init__(self):
+        # Sanity check mirrored from ref :200.
+        assert 0 < self.eta1 <= self.eta2 < 1 and 0 < self.gamma1 < 1 < self.gamma2, (
+            "Invalid trust region updates parameters"
+        )
+
+    def resolve_tols(self, dtype) -> "SolverOptions":
+        """Fill None tolerances with sqrt(eps(dtype)) (ref :181-182)."""
+        import numpy as np
+
+        se = float(np.sqrt(np.finfo(dtype).eps))
+        return dataclasses.replace(
+            self,
+            feas_tol=self.feas_tol if self.feas_tol is not None else se,
+            crit_tol=self.crit_tol if self.crit_tol is not None else se,
+        )

@@ -1,0 +1,160 @@
+"""Outer augmented-Lagrangian driver: penalty/multiplier/tolerance schedule.
+
+TPU-native re-design of the `tralcnllss` body
+(`/root/reference/src/basic_tralcnlss.jl:167-298`): LANCELOT-style outer
+loop — solve the TR subproblem to tolerance omega; if the subproblem iterate
+is feasible enough (‖c‖ ≤ eta) accept it, update multipliers y ← y + mu·c
+and tighten both tolerances (ref :273-283); otherwise raise the penalty
+mu ← tau·mu and reset the tolerances (ref :284-289).  Convergence when
+pi(x) ≤ crit_tol and ‖c‖ ≤ feas_tol (ref :276).
+
+The whole loop is one `lax.while_loop` over a flat carry pytree, so an
+entire solve jits to a single XLA computation and vmaps over instance
+batches (each instance runs its own schedule via masked selects).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.constraints import Polyhedron
+from .multipliers import least_squares_multipliers
+from .options import SolverOptions
+from .status import SOLVE_CONVERGED, SOLVE_MAX_OUTER
+from .subproblem import solve_subproblem
+
+Array = jax.Array
+
+
+def initial_tolerances(mu, omega0, eta0, k_crit, k_feas):
+    """omega = omega0/mu^k_crit, eta = eta0/mu^k_feas
+    (ref `src/basic_tralcnlss.jl:153-163`)."""
+    return omega0 / mu**k_crit, eta0 / mu**k_feas
+
+
+class SolveInfo(NamedTuple):
+    """Diagnostics for a solve (new: the reference returns only (x, y))."""
+
+    converged: Array      # bool: first-order critical point reached
+    status: Array         # SOLVE_* code
+    outer_iters: Array    # outer AL iterations performed
+    inner_iters: Array    # total TR iterations across subproblems
+    pix: Array            # final criticality measure pi(x)
+    feas: Array           # final ‖c(x)‖
+    mu: Array             # final penalty parameter
+
+
+class _OuterCarry(NamedTuple):
+    x: Array
+    y: Array
+    mu: Array
+    omega: Array
+    eta: Array
+    cx: Array
+    pix: Array
+    outer: Array
+    inner_total: Array
+    critical: Array
+
+
+def solve_fixed_point(
+    fns,
+    poly: Polyhedron,
+    x0: Array,
+    opts: SolverOptions,
+):
+    """Run the full TRALCNLLS iteration from x0; returns (x, y, SolveInfo).
+
+    Mirror of `tralcnllss` (ref `src/basic_tralcnlss.jl:167-298`); `fns`
+    holds the user callables.  Fully jittable; vmap for instance batches.
+    """
+    dtype = x0.dtype
+    opts = opts.resolve_tols(jnp.dtype(dtype))
+    import numpy as _np
+
+    atol = float(_np.sqrt(_np.finfo(_np.dtype(str(dtype))).eps))
+
+    cx0 = fns.nlconstraints(x0)
+    mu0 = jnp.asarray(opts.mu0, dtype)
+    omega0, eta0 = initial_tolerances(mu0, opts.omega0, opts.eta0, opts.k_crit, opts.k_feas)
+    # ref :230: initial least-squares multiplier estimate.
+    y0 = least_squares_multipliers(x0, fns.residuals, fns.jac_res, fns.jac_nlcons)
+
+    c0 = _OuterCarry(
+        x=x0,
+        y=y0,
+        mu=mu0,
+        omega=jnp.asarray(omega0, dtype),
+        eta=jnp.asarray(eta0, dtype),
+        cx=cx0,
+        pix=jnp.asarray(jnp.inf, dtype),
+        outer=jnp.asarray(1, jnp.int32),
+        inner_total=jnp.asarray(0, jnp.int32),
+        critical=jnp.asarray(False),
+    )
+
+    def cond(c: _OuterCarry):
+        # ref :246: while !first_order_critical && outer_iter <= max_outer_iter
+        return (~c.critical) & (c.outer <= opts.max_outer_iter)
+
+    def body(c: _OuterCarry):
+        # Tolerance floors (LANCELOT-style, absent in the reference): the
+        # schedules drive omega/eta below the *final* tolerances, demanding
+        # accuracy fp64 cannot certify — and a feasibility demand below
+        # feas_tol needlessly escalates mu, which raises the criticality
+        # noise floor (grad noise ∝ mu·eps) above crit_tol.  Clamp both.
+        omega_eff = jnp.maximum(c.omega, opts.crit_tol)
+        eta_eff = jnp.maximum(c.eta, opts.feas_tol)
+
+        sub = solve_subproblem(fns, poly, c.x, c.y, c.mu, omega_eff, opts, atol)
+        feas = jnp.linalg.norm(sub.cx)
+
+        accept = feas <= eta_eff                     # ref :273
+        critical = accept & (sub.pix <= opts.crit_tol) & (feas <= opts.feas_tol)  # ref :276
+
+        x = jnp.where(accept, sub.x, c.x)
+        cx = jnp.where(accept, sub.cx, c.cx)
+
+        # Accept branch (ref :278-283): multipliers + tolerance tightening,
+        # penalty unchanged.  Reject branch (ref :284-289): mu ← tau·mu,
+        # tolerances reset against the *new* mu.
+        mu_next = jnp.where(accept, c.mu, c.mu * opts.tau)
+        update = accept & (~critical)
+        y = jnp.where(update, c.y + c.mu * sub.cx, c.y)
+        omega = jnp.where(
+            critical,
+            c.omega,
+            jnp.where(update, c.omega / c.mu**opts.beta_crit, opts.omega0 / mu_next**opts.k_crit),
+        )
+        eta = jnp.where(
+            critical,
+            c.eta,
+            jnp.where(update, c.eta / c.mu**opts.beta_feas, opts.eta0 / mu_next**opts.k_feas),
+        )
+        return _OuterCarry(
+            x=x,
+            y=y,
+            mu=mu_next,
+            omega=omega,
+            eta=eta,
+            cx=cx,
+            pix=sub.pix,
+            outer=c.outer + 1,
+            inner_total=c.inner_total + sub.inner_iters,
+            critical=critical,
+        )
+
+    out = lax.while_loop(cond, body, c0)
+    info = SolveInfo(
+        converged=out.critical,
+        status=jnp.where(out.critical, SOLVE_CONVERGED, SOLVE_MAX_OUTER),
+        outer_iters=out.outer - 1,
+        inner_iters=out.inner_total,
+        pix=out.pix,
+        feas=jnp.linalg.norm(out.cx),
+        mu=out.mu,
+    )
+    return out.x, out.y, info

@@ -1,0 +1,175 @@
+"""Trust-region subproblem solver (the AL minimization over the polyhedron).
+
+TPU-native re-design of `solve_subproblem` + TR radius control
+(`/root/reference/src/basic_tralcnlss.jl:303-378, 817-860`): approximately
+minimize the augmented Lagrangian over {Ax=b, xl ≤ x ≤ xu} to criticality
+tolerance omega, via trust-region steps from `inner_step`.
+
+The data-dependent TR loop becomes a `lax.while_loop`; derivative refreshes
+happen under `lax.cond` so a rejected step skips the Jacobian evaluations at
+runtime (the reference evaluates Jacobians only on acceptance, ref :361-362;
+under vmap the cond lowers to a select and both sides run — the batched
+regime trades that for lockstep progress).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.al import AlHessian, al_gradient, evaluate_al, new_point
+from ..ops.constraints import ActiveSet, Polyhedron, binding_bounds_at, make_active_set
+from ..ops.project import norm_reduced_gradient
+from .inner import inner_step
+from .options import SolverOptions
+
+Array = jax.Array
+
+
+def initial_tr(g: Array, tr_factor: float = 0.1) -> Array:
+    """Initial radius tr_factor·‖g‖ (ref `src/basic_tralcnlss.jl:817-819`)."""
+    return tr_factor * jnp.linalg.norm(g)
+
+
+def update_tr(delta: Array, rho: Array, eta1, eta2, gamma1, gamma2) -> Array:
+    """Standard TR radius update (ref `src/basic_tralcnlss.jl:821-837`).
+
+    NaN rho (0/0 predicted reduction) keeps the radius, matching Julia's
+    NaN-comparison semantics in the reference's if/elseif chain.
+    """
+    return jnp.where(rho > eta2, gamma2 * delta, jnp.where(rho < eta1, gamma1 * delta, delta))
+
+
+def criticality_measure(poly: Polyhedron, aset: ActiveSet, g: Array) -> Array:
+    """pi(x) = ‖P(-g)‖, the live reduced-gradient criticality measure
+    (ref `src/basic_tralcnlss.jl:839-844` → :869-875)."""
+    return norm_reduced_gradient(poly, aset, g)
+
+
+class _TRCarry(NamedTuple):
+    x: Array
+    rx: Array
+    cx: Array
+    mx: Array
+    g: Array
+    H: AlHessian
+    delta: Array
+    pix: Array
+    k: Array
+    solved: Array
+
+
+class SubproblemResult(NamedTuple):
+    x: Array
+    rx: Array
+    cx: Array
+    pix: Array
+    inner_iters: Array
+
+
+def solve_subproblem(
+    fns,
+    poly: Polyhedron,
+    x0: Array,
+    y: Array,
+    mu: Array,
+    omega_tol: Array,
+    opts: SolverOptions,
+    atol: float,
+) -> SubproblemResult:
+    """Mirror of `solve_subproblem` (ref `src/basic_tralcnlss.jl:303-378`).
+
+    `fns` holds the user callables (residuals, nlconstraints, jac_res,
+    jac_nlcons); they are closed over statically.  Returns the final iterate,
+    its residual/constraint values, the criticality measure pi, and the inner
+    iteration count.
+    """
+    dtype = x0.dtype
+
+    rx0, cx0, _, mx0, g0, H0 = new_point(
+        x0, y, mu, fns.residuals, fns.nlconstraints, fns.jac_res, fns.jac_nlcons
+    )
+    delta0 = initial_tr(g0, opts.tr_factor)
+
+    c0 = _TRCarry(
+        x=x0,
+        rx=rx0,
+        cx=cx0,
+        mx=mx0,
+        g=g0,
+        H=H0,
+        delta=delta0,
+        pix=jnp.asarray(jnp.inf, dtype),
+        k=jnp.asarray(1, jnp.int32),
+        solved=jnp.asarray(False),
+    )
+
+    def cond(c: _TRCarry):
+        return (~c.solved) & (c.k <= opts.max_inner_iter)
+
+    def body(c: _TRCarry):
+        s, pred, aset = inner_step(
+            c.x,
+            c.g,
+            c.H,
+            poly,
+            c.delta,
+            opts.max_minor_iter,
+            opts.kappa2,
+            opts.kappa3,
+            atol,
+            opts.chol_reg,
+        )
+        x_next = c.x + s
+        rx_next, cx_next, mx_next = evaluate_al(
+            x_next, y, mu, fns.residuals, fns.nlconstraints
+        )
+        ared = mx_next - c.mx                    # ref :353 (negative-good)
+        rho = ared / pred                        # ref :354
+
+        # Roundoff guard (Conn–Gould–Toint style): near the AL minimum the
+        # actual reduction |ared| sinks below the f64 noise of mx and the
+        # ratio test turns into a coin flip, collapsing the radius and
+        # stalling pi above crit_tol (the reference stalls the same way —
+        # its tests never push into this regime).  When both reductions are
+        # noise-level, count the step as (plainly) successful and let the
+        # criticality test terminate.
+        noise = 10.0 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(c.mx), jnp.abs(mx_next))
+        rho_noisy = (jnp.abs(ared) <= noise) & (jnp.abs(-pred) <= noise)
+        rho = jnp.where(rho_noisy, 0.5 * (opts.eta1 + opts.eta2), rho)
+
+        accept = rho > opts.eta1                 # ref :358
+
+        def refresh(_):
+            # ref :361-362: derivatives only on acceptance.
+            Jn = fns.jac_res(x_next)
+            Cn = fns.jac_nlcons(x_next)
+            y_bar = y + mu * cx_next
+            gn = al_gradient(Jn, Cn, rx_next, y_bar)
+            return gn, AlHessian(Jn, Cn, mu)
+
+        def keep(_):
+            return c.g, c.H
+
+        g, H = lax.cond(accept, refresh, keep, None)
+        x = jnp.where(accept, x_next, c.x)
+        rx = jnp.where(accept, rx_next, c.rx)
+        cx = jnp.where(accept, cx_next, c.cx)
+        mx = jnp.where(accept, mx_next, c.mx)
+
+        delta = update_tr(c.delta, rho, opts.eta1, opts.eta2, opts.gamma1, opts.gamma2)
+        # ref :369 measures pi with the active set as left by inner_step —
+        # including TR-face hits, which can spuriously report criticality
+        # (latent reference flaw; see binding_bounds_at).  Here pi uses the
+        # binding bounds at the current iterate with the current gradient.
+        crit_aset = make_active_set(
+            poly, binding_bounds_at(poly, x, g, atol), reg=opts.chol_reg
+        )
+        pix = criticality_measure(poly, crit_aset, g)
+        solved = pix < omega_tol
+        return _TRCarry(x, rx, cx, mx, g, H, delta, pix, c.k + 1, solved)
+
+    out = lax.while_loop(cond, body, c0)
+    return SubproblemResult(x=out.x, rx=out.rx, cx=out.cx, pix=out.pix, inner_iters=out.k - 1)

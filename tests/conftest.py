@@ -1,0 +1,20 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64 enabled.
+
+Multi-chip sharding tests run on a fake 8-device CPU mesh (SURVEY.md §4),
+and f64 gives parity with the reference Julia tolerances sqrt(eps(Float64))
+(`/root/reference/src/basic_tralcnlss.jl:181-182`).  Env vars must be set
+before jax initializes, hence this module-level block.
+"""
+import os
+
+# Force-set: the image pre-sets JAX_PLATFORMS=axon,cpu (the TPU tunnel), so
+# setdefault would silently leave tests running on the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
