@@ -1,0 +1,153 @@
+"""Problem-family generators for the benchmark suite and batch tests.
+
+The reference ships exactly one integration problem
+(`/root/reference/test/problems/sphere_regression.jl`); the BASELINE
+configs demand parameterized families at several scales (small batched,
+medium dense, large single-instance).  Each generator returns a
+(`BatchedProblem`, theta, X0) triple consumable by `batch.vmap_solve`.
+
+All families are smooth NLS with known structure so convergence can be
+asserted (residual norms, feasibility, KKT via the projection oracle).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch.vmap_solve import BatchedProblem
+
+Array = jax.Array
+
+
+def exp_fit_family(
+    B: int,
+    d: int = 32,
+    seed: int = 0,
+    dtype=jnp.float64,
+    with_constraints: bool = True,
+) -> Tuple[BatchedProblem, dict, Array]:
+    """Batched exponential curve fitting (BASELINE config 2 workload).
+
+    Per instance: fit y_j ≈ a·exp(-b t_j) + c over d samples; parameters
+    x = (a, b, c) with bounds 0.05 ≤ b ≤ 5, -10 ≤ a, c ≤ 10, and (optionally)
+    a linear equality a + c = y(0) pinning the intercept — exercising the
+    full constraint stack on a classic parameter-estimation shape.
+    """
+    rng = np.random.default_rng(seed)
+    n = 3
+    t = np.linspace(0.0, 3.0, d)
+    a = rng.uniform(0.5, 3.0, B)
+    bb = rng.uniform(0.3, 2.0, B)
+    c = rng.uniform(-1.0, 1.0, B)
+    y = a[:, None] * np.exp(-bb[:, None] * t[None, :]) + c[:, None]
+    y += 0.01 * rng.standard_normal((B, d))
+
+    theta = {"t": jnp.asarray(np.broadcast_to(t, (B, d)), dtype), "y": jnp.asarray(y, dtype)}
+
+    def residuals(x, th):
+        return x[0] * jnp.exp(-x[1] * th["t"]) + x[2] - th["y"]
+
+    A = b_rhs = None
+    if with_constraints:
+        # Pin the model value at t=0: a + c = y0 (per-instance rhs).
+        A = jnp.asarray([[1.0, 0.0, 1.0]], dtype)
+        b_rhs = jnp.asarray(y[:, :1], dtype)  # (B, 1) batched rhs
+
+    bp = BatchedProblem(
+        residuals=residuals,
+        A=A,
+        b=b_rhs,
+        xl=jnp.asarray([-10.0, 0.05, -10.0], dtype),
+        xu=jnp.asarray([10.0, 5.0, 10.0], dtype),
+        poly_batched=with_constraints,
+    )
+    X0 = jnp.asarray(np.stack([np.ones(B), np.full(B, 1.0), np.zeros(B)], axis=1), dtype)
+    if with_constraints:
+        # Start feasible w.r.t. a + c = y0.
+        X0 = X0.at[:, 2].set(theta["y"][:, 0] - X0[:, 0])
+    return bp, theta, X0
+
+
+def sphere_family(B: int, seed: int = 0, dtype=jnp.float64) -> Tuple[BatchedProblem, dict, Array]:
+    """Batched perturbations of the reference's sphere-regression fixture
+    (ref `test/problems/sphere_regression.jl:9-33`): per-instance shifts of
+    the residual offsets and the sphere radius.  Shapes n=3, d=4, p=1, m=1.
+    """
+    rng = np.random.default_rng(seed)
+    theta = {
+        "off": jnp.asarray(rng.uniform(-0.1, 0.1, (B, 4)), dtype),
+        "rad": jnp.asarray(3.0 + rng.uniform(-0.2, 0.2, B), dtype),
+    }
+
+    def residuals(x, th):
+        base = jnp.stack(
+            [
+                x[0] ** 2 + x[1] ** 2 - 2 * x[0] + jnp.sin(x[0] + x[1]) - 1.5,
+                x[0] * x[1] + 0.5 * jnp.cos(2 * x[0]) - 0.8,
+                (x[0] - 1.0) ** 2 + (x[1] - 0.5) ** 2 - x[2],
+                x[2] ** 2 - x[0] + 0.3 * jnp.sin(x[2]) - 0.2,
+            ]
+        )
+        return base + th["off"]
+
+    def nlconstraints(x, th):
+        return jnp.stack([x[0] ** 2 + x[1] ** 2 + x[2] ** 2 - th["rad"]])
+
+    bp = BatchedProblem(
+        residuals=residuals,
+        nlconstraints=nlconstraints,
+        A=jnp.asarray([[1.0, 2.0, -1.0]], dtype),
+        b=jnp.asarray([0.5], dtype),
+        xl=jnp.asarray([-2.0, -1.5, 0.0], dtype),
+        xu=jnp.asarray([2.0, 1.5, 2.0], dtype),
+    )
+    X0 = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 1.5], dtype), (B, 3))
+    return bp, theta, X0
+
+
+def dense_quadratic_family(
+    B: int,
+    n: int = 64,
+    d: int = 256,
+    m: int = 4,
+    seed: int = 0,
+    dtype=jnp.float64,
+) -> Tuple[BatchedProblem, dict, Array]:
+    """Medium dense linear-least-squares family with polyhedral constraints
+    (BASELINE config 3 shape): r(x) = J x - y with shared random J, per-
+    instance targets, linear equalities Ax=b and active-at-solution bounds,
+    exercising the projection/active-set path at MXU-friendly sizes.
+    """
+    rng = np.random.default_rng(seed)
+    J = rng.standard_normal((d, n)) / np.sqrt(d)
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    x_true = rng.standard_normal((B, n))
+    y = x_true @ J.T + 0.01 * rng.standard_normal((B, d))
+    b = x_true[0] @ A.T  # shared rhs; instances project onto the same plane
+
+    theta = {"y": jnp.asarray(y, dtype)}
+    Jj = jnp.asarray(J, dtype)
+
+    def residuals(x, th):
+        return Jj @ x - th["y"]
+
+    def jac_res(x, th):
+        return Jj
+
+    bp = BatchedProblem(
+        residuals=residuals,
+        jac_res=jac_res,
+        A=jnp.asarray(A, dtype),
+        b=jnp.asarray(b, dtype),
+        xl=jnp.full((n,), -0.8, dtype),   # bounds bind for ~20% of coords
+        xu=jnp.full((n,), 0.8, dtype),
+    )
+    # Feasible start: project zero onto {Ax=b} (bounds hold at 0).
+    AAt = A @ A.T
+    x0 = A.T @ np.linalg.solve(AAt, b)
+    x0 = np.clip(x0, -0.79, 0.79)
+    X0 = jnp.asarray(np.broadcast_to(x0, (B, n)).copy(), dtype)
+    return bp, theta, X0

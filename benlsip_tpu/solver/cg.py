@@ -113,7 +113,12 @@ def projected_cg(
     # (unsquared) — a units mismatch that makes CG exit after ~1 iteration
     # once gradients fall below 1, stalling asymptotic convergence.  The
     # intended relative test is ‖Pr‖ ≤ kappa2·‖v0‖, i.e. rᵀv ≤ (kappa2‖v0‖)².
-    tol_cg = (kappa2 * jnp.linalg.norm(v0)) ** 2
+    # Floor: the projection computes v with absolute error ~eps·‖g_minor‖;
+    # below that, v is pure roundoff and CG would iterate on noise that the
+    # linesearch then amplifies into macroscopic constraint-violating steps.
+    eps_ = jnp.finfo(dtype).eps
+    noise_floor = (10.0 * eps_ * jnp.linalg.norm(g_minor)) ** 2
+    tol_cg = jnp.maximum((kappa2 * jnp.linalg.norm(v0)) ** 2, noise_floor)
     tol_nc = jnp.asarray(atol, dtype)
     max_iter = 2 * (n - m - nb_fix(aset))
 
@@ -148,9 +153,12 @@ def projected_cg(
         w = c.w + step * c.p
 
         # Interior CG update (ref :739-748); unselected lanes keep old state.
+        # rᵀv = rᵀPr = ‖Pr‖² = vᵀv exactly (P symmetric idempotent); the vᵀv
+        # form keeps the curvature/termination quantities nonnegative at
+        # machine level where the raw dot cancels to projection roundoff.
         r_new = c.r + alpha * Hp
         v_new = proj(r_new)
-        rtv_next = jnp.vdot(r_new, v_new)
+        rtv_next = jnp.vdot(v_new, v_new)
         beta = rtv_next / jnp.where(c.rtv != 0, c.rtv, 1.0)
         p_new = -v_new + beta * c.p
 
@@ -181,7 +189,8 @@ def projected_cg(
         r=g_minor,
         v=v0,
         p=-v0,
-        rtv=jnp.vdot(g_minor, v0),
+        rtv=jnp.vdot(v0, v0),  # = g_minorᵀv0 exactly; see body comment
+
         it=jnp.asarray(1, jnp.int32),
         # ref :714,720: with max_iter < 1 the loop never runs (status would be
         # `nothing` — quirk 4); here it is reported as CG_MAX_ITER with w = 0.
@@ -190,7 +199,7 @@ def projected_cg(
         # otherwise CG iterates on projection roundoff and the later
         # linesearch can amplify that noise into a macroscopic step.
         status=jnp.where(
-            jnp.vdot(g_minor, v0) <= tol_cg,
+            jnp.vdot(v0, v0) <= tol_cg,
             CG_SOLVED,
             jnp.where(max_iter >= 1, CG_RUNNING, CG_MAX_ITER),
         ),

@@ -23,6 +23,7 @@ from ..ops.constraints import (
     ActiveSet,
     Polyhedron,
     active_bounds_at,
+    binding_bounds_at,
     make_active_set,
     nb_fix,
     step_active_bounds,
@@ -90,7 +91,13 @@ def cauchy_step(
     n = x.shape[0]
     m = poly.A.shape[0]
 
-    fixed0 = active_bounds_at(poly, x, atol)
+    # ref :591 fixes ALL bounds active at x, which makes a touched bound
+    # unreleasable — the solver then stalls at points where the gradient
+    # pushes *into* the feasible box (invisible to the reference's tests,
+    # where no bound ever activates).  GPCG intent: fix only the BINDING
+    # active bounds; a non-binding bound whose projected direction turns
+    # against it is re-fixed by a theta = 0 breakpoint below.
+    fixed0 = binding_bounds_at(poly, x, g, atol)
     aset0 = make_active_set(poly, fixed0, reg=chol_reg)
     d0 = project_tangent(poly, aset0, -g)
 
@@ -98,6 +105,12 @@ def cauchy_step(
     d_u = jnp.minimum(poly.xu - x, delta)
     d_l = jnp.maximum(poly.xl - x, -delta)
 
+    # Slope phi' = sᵀHd + gᵀd with gᵀd = -‖d‖² (P symmetric idempotent and
+    # d = P(-g) ⇒ gᵀd = -‖Pg‖² = -‖d‖² exactly).  Computing gᵀd as a raw dot
+    # cancels to projection roundoff ~eps·‖g‖ and its *sign* flips once
+    # ‖Pg‖² < eps·‖g‖, stalling the solver at pi ~ sqrt(eps)·scale; -‖d‖²
+    # is exact to relative eps.  (The reference computes the raw dot,
+    # ref :610 — its tests never push into this regime.)
     Hd0 = hv(H, d0)
     c0 = _CauchyCarry(
         s=jnp.zeros((n,), dtype),
@@ -105,9 +118,12 @@ def cauchy_step(
         chol=aset0.chol,
         d=d0,
         Hd=Hd0,
-        phi_p=jnp.vdot(g, d0),
+        phi_p=-jnp.vdot(d0, d0),
         phi_pp=jnp.vdot(d0, Hd0),
-        done=jnp.asarray(False),
+        # Noise guard (cf. projected_cg): a projected gradient at roundoff
+        # scale means x is tangent-space stationary — walking breakpoints on
+        # noise wastes the whole segment budget.
+        done=jnp.linalg.norm(d0) <= 10.0 * jnp.finfo(dtype).eps * jnp.linalg.norm(g),
     )
 
     def cond(c: _CauchyCarry):
@@ -135,7 +151,8 @@ def cauchy_step(
         Hd_new = hv(H, d_new)
         d = jnp.where(advance, d_new, c.d)
         Hd = jnp.where(advance, Hd_new, c.Hd)
-        phi_p = jnp.where(advance, jnp.vdot(s, Hd_new) + jnp.vdot(g, d_new), c.phi_p)
+        # gᵀd = -‖d‖² (see init comment).
+        phi_p = jnp.where(advance, jnp.vdot(s, Hd_new) - jnp.vdot(d_new, d_new), c.phi_p)
         phi_pp = jnp.where(advance, jnp.vdot(d_new, Hd_new), c.phi_pp)
         chol = jnp.where(advance, aset.chol, c.chol)
         return _CauchyCarry(s, fixed, chol, d, Hd, phi_p, phi_pp, at_min | interior_min)

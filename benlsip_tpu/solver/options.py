@@ -52,6 +52,10 @@ class SolverOptions:
     max_minor_iter: int = 50
 
     # New knobs (absent in the reference)
+    project_x0: bool = True      # project x0 onto {Ax=b, xl≤x≤xu} at entry;
+                                 # the reference silently misbehaves on
+                                 # infeasible starts (its iterations only
+                                 # move within the feasible polyhedron)
     tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
     chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
     verbose: bool = False        # iteration log via host callback (the

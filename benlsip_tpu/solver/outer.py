@@ -77,6 +77,10 @@ def solve_fixed_point(
 
     atol = float(_np.sqrt(_np.finfo(_np.dtype(str(dtype))).eps))
 
+    if opts.project_x0:
+        from ..ops.polyproject import projection_polyhedron
+
+        x0 = projection_polyhedron(poly, x0)  # no-op for feasible x0
     cx0 = fns.nlconstraints(x0)
     mu0 = jnp.asarray(opts.mu0, dtype)
     omega0, eta0 = initial_tolerances(mu0, opts.omega0, opts.eta0, opts.k_crit, opts.k_feas)

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.al import AlHessian, al_gradient, evaluate_al, new_point
-from ..ops.constraints import ActiveSet, Polyhedron, binding_bounds_at, make_active_set
+from ..ops.constraints import ActiveSet, Polyhedron
+from ..ops.polyproject import projection_polyhedron
 from ..ops.project import norm_reduced_gradient
 from .inner import inner_step
 from .options import SolverOptions
@@ -42,10 +43,23 @@ def update_tr(delta: Array, rho: Array, eta1, eta2, gamma1, gamma2) -> Array:
     return jnp.where(rho > eta2, gamma2 * delta, jnp.where(rho < eta1, gamma1 * delta, delta))
 
 
-def criticality_measure(poly: Polyhedron, aset: ActiveSet, g: Array) -> Array:
-    """pi(x) = ‖P(-g)‖, the live reduced-gradient criticality measure
-    (ref `src/basic_tralcnlss.jl:839-844` → :869-875)."""
+def reduced_gradient_measure(poly: Polyhedron, aset: ActiveSet, g: Array) -> Array:
+    """‖P_T(-g)‖, the reference's live reduced-gradient measure
+    (ref `src/basic_tralcnlss.jl:839-844` → :869-875).  Kept for parity and
+    diagnostics; NOT used for termination — it understates criticality when
+    the active set contains TR faces, and an active-set-free variant
+    overstates it when bounds interact with Ax=b through the projection."""
     return norm_reduced_gradient(poly, aset, g)
+
+
+def criticality_measure(poly: Polyhedron, x: Array, g: Array) -> Array:
+    """pi(x) = ‖P_Ω(x - g) - x‖ with P_Ω the exact polyhedral projection —
+    the reference's alternative 6-arg measure (ref :850-860) and its tests'
+    KKT oracle (ref `test/problems/sphere_regression.jl:58-62`).  The only
+    measure that is sound in every active-set configuration; here it is
+    jittable in-framework (ops/polyproject.py), so the live loop can afford
+    what the reference could not (an Ipopt call per iteration)."""
+    return jnp.linalg.norm(projection_polyhedron(poly, x - g) - x)
 
 
 class _TRCarry(NamedTuple):
@@ -162,12 +176,8 @@ def solve_subproblem(
         delta = update_tr(c.delta, rho, opts.eta1, opts.eta2, opts.gamma1, opts.gamma2)
         # ref :369 measures pi with the active set as left by inner_step —
         # including TR-face hits, which can spuriously report criticality
-        # (latent reference flaw; see binding_bounds_at).  Here pi uses the
-        # binding bounds at the current iterate with the current gradient.
-        crit_aset = make_active_set(
-            poly, binding_bounds_at(poly, x, g, atol), reg=opts.chol_reg
-        )
-        pix = criticality_measure(poly, crit_aset, g)
+        # (latent reference flaw).  Use the exact projected-gradient measure.
+        pix = criticality_measure(poly, x, g)
         solved = pix < omega_tol
         return _TRCarry(x, rx, cx, mx, g, H, delta, pix, c.k + 1, solved)
 
