@@ -76,6 +76,33 @@ class BatchedProblem:
         return Polyhedron(A=A, b=b, xl=xl, xu=xu)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_runner(fns_key, options: SolverOptions, poly_axes_key, jit: bool):
+    """Build (and cache) the jitted vmapped solve for one problem family.
+
+    Keyed on the family's callables + options + constraint batch axes so
+    repeated solve_batched calls (chunked sweeps, warm benchmarks) reuse one
+    traced/compiled program instead of re-tracing a fresh closure per call.
+    """
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+
+    def one(theta_i, x0_i, poly_i):
+        bp_i = BatchedProblem(
+            residuals=residuals,
+            nlconstraints=nlconstraints,
+            jac_res=jac_res,
+            jac_nlcons=jac_nlcons,
+        )
+        fns = bp_i.instance_fns(theta_i)
+        return solve_fixed_point(fns, poly_i, x0_i, options)
+
+    run = jax.vmap(one, in_axes=(0, 0, Polyhedron(*poly_axes_key)))
+    return jax.jit(run) if jit else run
+
+
 def solve_batched(
     bp: BatchedProblem,
     theta,
@@ -93,19 +120,68 @@ def solve_batched(
     dtype = X0.dtype
     poly = bp.polyhedron(n, dtype)
 
-    def one(theta_i, x0_i, poly_i):
-        fns = bp.instance_fns(theta_i)
-        return solve_fixed_point(fns, poly_i, x0_i, options)
-
     # Per-field batch axes: a field is batched iff it carries an extra axis
     # beyond its base rank (A: 2, b/xl/xu: 1) — mixed shared/per-instance
     # constraint data is allowed.
     base = Polyhedron(A=2, b=1, xl=1, xu=1)
-    poly_axes = Polyhedron(*[0 if getattr(poly, f).ndim > getattr(base, f) else None for f in Polyhedron._fields])
-    run = jax.vmap(one, in_axes=(0, 0, poly_axes))
-    if jit:
-        run = jax.jit(run)
+    poly_axes = tuple(
+        0 if getattr(poly, f).ndim > getattr(base, f) else None for f in Polyhedron._fields
+    )
+    fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+    run = _batched_runner(fns_key, options, poly_axes, jit)
     return run(theta, X0, poly)
+
+
+def solve_batched_chunked(
+    bp: BatchedProblem,
+    theta,
+    X0: Array,
+    options: SolverOptions = SolverOptions(),
+    chunk: int = 512,
+) -> Tuple[Array, Array, SolveInfo]:
+    """Batched solve in fixed-size chunks sharing one compiled program.
+
+    Works around per-launch batch limits (the axon TPU tunnel faults above
+    ~512 instances per program) and bounds the lockstep tail: a chunk only
+    waits for its own slowest instance.  B must be ≥ chunk; a ragged final
+    chunk is padded by repeating its first instance and trimmed after.
+    """
+    B = X0.shape[0]
+    chunk = min(chunk, B)
+    pad = (-B) % chunk
+    base = Polyhedron(A=2, b=1, xl=1, xu=1)._asdict()
+
+    def map_poly_fields(bp_, fn):
+        """Apply fn to the constraint fields that carry a batch axis."""
+        upd = {
+            f: fn(getattr(bp_, f))
+            for f in ("A", "b", "xl", "xu")
+            if getattr(bp_, f) is not None and getattr(bp_, f).ndim > base[f]
+        }
+        return dataclasses.replace(bp_, **upd) if upd else bp_
+
+    if pad:
+        rep = lambda a: jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+        theta = jax.tree.map(rep, theta)
+        X0 = rep(X0)
+        bp = map_poly_fields(bp, rep)
+    n_chunks = (B + pad) // chunk
+
+    outs = []
+    for i in range(n_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        outs.append(
+            solve_batched(
+                map_poly_fields(bp, lambda a: a[sl]),
+                jax.tree.map(lambda a: a[sl], theta),
+                X0[sl],
+                options,
+            )
+        )
+    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    if pad:
+        out = jax.tree.map(lambda a: a[:B], out)
+    return out
 
 
 def solve_sequential(
