@@ -51,6 +51,14 @@ class SolverOptions:
     max_inner_iter: int = 500
     max_minor_iter: int = 50
 
+    # Stall detection (new; the reference burns its caps when a tolerance
+    # sits below the dtype's criticality floor — fatal for batched lockstep
+    # execution where one stuck instance stalls the whole chunk).
+    stall_window: int = 12       # TR iterations without pi improving by
+    stall_ratio: float = 0.99    # a factor stall_ratio -> exit subproblem
+    outer_stall_window: int = 6  # same at the outer level (with feasibility
+                                 # already at tolerance) -> SOLVE_STALLED
+
     # New knobs (absent in the reference)
     project_x0: bool = True      # project x0 onto {Ax=b, xl≤x≤xu} at entry;
                                  # the reference silently misbehaves on

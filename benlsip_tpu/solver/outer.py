@@ -23,7 +23,7 @@ from jax import lax
 from ..ops.constraints import Polyhedron
 from .multipliers import least_squares_multipliers
 from .options import SolverOptions
-from .status import SOLVE_CONVERGED, SOLVE_MAX_OUTER
+from .status import SOLVE_CONVERGED, SOLVE_MAX_OUTER, SOLVE_STALLED
 from .subproblem import solve_subproblem
 
 Array = jax.Array
@@ -55,6 +55,8 @@ class _OuterCarry(NamedTuple):
     eta: Array
     cx: Array
     pix: Array
+    best_pix: Array
+    stall: Array
     outer: Array
     inner_total: Array
     critical: Array
@@ -95,6 +97,8 @@ def solve_fixed_point(
         eta=jnp.asarray(eta0, dtype),
         cx=cx0,
         pix=jnp.asarray(jnp.inf, dtype),
+        best_pix=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0, jnp.int32),
         outer=jnp.asarray(1, jnp.int32),
         inner_total=jnp.asarray(0, jnp.int32),
         critical=jnp.asarray(False),
@@ -102,7 +106,13 @@ def solve_fixed_point(
 
     def cond(c: _OuterCarry):
         # ref :246: while !first_order_critical && outer_iter <= max_outer_iter
-        return (~c.critical) & (c.outer <= opts.max_outer_iter)
+        # plus the stall exit: pi at its dtype floor with feasibility already
+        # at tolerance cannot improve; stop instead of burning the cap.
+        return (
+            (~c.critical)
+            & (c.outer <= opts.max_outer_iter)
+            & (c.stall < opts.outer_stall_window)
+        )
 
     def body(c: _OuterCarry):
         # Tolerance floors (LANCELOT-style, absent in the reference): the
@@ -138,6 +148,11 @@ def solve_fixed_point(
             c.eta,
             jnp.where(update, c.eta / c.mu**opts.beta_feas, opts.eta0 / mu_next**opts.k_feas),
         )
+        # Outer stall: pi not improving while feasibility is already at
+        # final tolerance (otherwise mu escalation is still doing real work).
+        improved = sub.pix < opts.stall_ratio * c.best_pix
+        at_floor = feas <= opts.feas_tol
+        stall = jnp.where(improved | ~at_floor, 0, c.stall + 1)
         return _OuterCarry(
             x=x,
             y=y,
@@ -146,6 +161,8 @@ def solve_fixed_point(
             eta=eta,
             cx=cx,
             pix=sub.pix,
+            best_pix=jnp.minimum(sub.pix, c.best_pix),
+            stall=stall,
             outer=c.outer + 1,
             inner_total=c.inner_total + sub.inner_iters,
             critical=critical,
@@ -154,7 +171,11 @@ def solve_fixed_point(
     out = lax.while_loop(cond, body, c0)
     info = SolveInfo(
         converged=out.critical,
-        status=jnp.where(out.critical, SOLVE_CONVERGED, SOLVE_MAX_OUTER),
+        status=jnp.where(
+            out.critical,
+            SOLVE_CONVERGED,
+            jnp.where(out.stall >= opts.outer_stall_window, SOLVE_STALLED, SOLVE_MAX_OUTER),
+        ),
         outer_iters=out.outer - 1,
         inner_iters=out.inner_total,
         pix=out.pix,

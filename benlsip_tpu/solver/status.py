@@ -21,3 +21,6 @@ CG_MAX_ITER = jnp.int32(4)           # iteration cap (fixes quirk 4)
 SOLVE_RUNNING = jnp.int32(0)
 SOLVE_CONVERGED = jnp.int32(1)       # pix ≤ crit_tol and ‖c‖ ≤ feas_tol (ref :276)
 SOLVE_MAX_OUTER = jnp.int32(2)       # outer-iteration cap hit (ref :246)
+SOLVE_STALLED = jnp.int32(3)         # pi stopped improving at its numerical
+                                     # floor with feasibility already at
+                                     # tolerance (see SolverOptions stall_*)

@@ -71,6 +71,8 @@ class _TRCarry(NamedTuple):
     H: AlHessian
     delta: Array
     pix: Array
+    best_pix: Array
+    stall: Array
     k: Array
     solved: Array
 
@@ -116,12 +118,16 @@ def solve_subproblem(
         H=H0,
         delta=delta0,
         pix=jnp.asarray(jnp.inf, dtype),
+        best_pix=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(1, jnp.int32),
         solved=jnp.asarray(False),
     )
 
     def cond(c: _TRCarry):
-        return (~c.solved) & (c.k <= opts.max_inner_iter)
+        # Stall exit: pi at its numerical floor cannot satisfy omega; keep
+        # burning the cap and (batched) the whole lockstep chunk pays for it.
+        return (~c.solved) & (c.k <= opts.max_inner_iter) & (c.stall < opts.stall_window)
 
     def body(c: _TRCarry):
         s, pred, aset = inner_step(
@@ -179,7 +185,10 @@ def solve_subproblem(
         # (latent reference flaw).  Use the exact projected-gradient measure.
         pix = criticality_measure(poly, x, g)
         solved = pix < omega_tol
-        return _TRCarry(x, rx, cx, mx, g, H, delta, pix, c.k + 1, solved)
+        improved = pix < opts.stall_ratio * c.best_pix
+        best_pix = jnp.minimum(pix, c.best_pix)
+        stall = jnp.where(improved, 0, c.stall + 1)
+        return _TRCarry(x, rx, cx, mx, g, H, delta, pix, best_pix, stall, c.k + 1, solved)
 
     out = lax.while_loop(cond, body, c0)
     return SubproblemResult(x=out.x, rx=out.rx, cx=out.cx, pix=out.pix, inner_iters=out.k - 1)
