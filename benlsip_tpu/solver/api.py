@@ -89,6 +89,20 @@ def solve(
     x0 = jnp.asarray(x0)
     fns, poly = problem.build(x0.shape[0], x0.dtype)
 
+    if options.verbose:
+        # Solver banner (ref src/misc.jl:1-45), printed host-side once.
+        from ..harness.logging import print_tralcnllss_header
+
+        opts_r = options.resolve_tols(jnp.dtype(x0.dtype))
+        d = fns.residuals(x0).shape[0]
+        p = fns.nlconstraints(x0).shape[0]
+        print_tralcnllss_header(
+            x0.shape[0], d, p, poly.A.shape[0],
+            int(jnp.sum(jnp.isfinite(poly.xl))), int(jnp.sum(jnp.isfinite(poly.xu))),
+            opts_r.crit_tol, opts_r.feas_tol, options.tau,
+            options.eta1, options.eta2, options.gamma1, options.gamma2,
+        )
+
     def run(poly_, x0_):
         return solve_fixed_point(fns, poly_, x0_, options)
 

@@ -8,9 +8,12 @@ and tighten both tolerances (ref :273-283); otherwise raise the penalty
 mu ← tau·mu and reset the tolerances (ref :284-289).  Convergence when
 pi(x) ≤ crit_tol and ‖c‖ ≤ feas_tol (ref :276).
 
-The whole loop is one `lax.while_loop` over a flat carry pytree, so an
-entire solve jits to a single XLA computation and vmaps over instance
-batches (each instance runs its own schedule via masked selects).
+The loop is exposed in stepped form (`outer_init` / `outer_cond` /
+`outer_body`) so the checkpoint harness (`harness/checkpoint.py`) can run K
+outer iterations per device call and serialize the carry pytree between
+calls; `solve_fixed_point` fuses the same pieces into one `lax.while_loop`
+— a single XLA computation that vmaps over instance batches (each instance
+runs its own schedule via masked selects).
 """
 from __future__ import annotations
 
@@ -18,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..ops.constraints import Polyhedron
@@ -35,6 +39,11 @@ def initial_tolerances(mu, omega0, eta0, k_crit, k_feas):
     return omega0 / mu**k_crit, eta0 / mu**k_feas
 
 
+def default_atol(dtype) -> float:
+    """The reference's sqrt(eps(T)) working tolerance (ref :181-182)."""
+    return float(np.sqrt(np.finfo(np.dtype(str(jnp.dtype(dtype)))).eps))
+
+
 class SolveInfo(NamedTuple):
     """Diagnostics for a solve (new: the reference returns only (x, y))."""
 
@@ -47,7 +56,10 @@ class SolveInfo(NamedTuple):
     mu: Array             # final penalty parameter
 
 
-class _OuterCarry(NamedTuple):
+class OuterCarry(NamedTuple):
+    """The solver's full state between outer iterations — a plain pytree,
+    so it serializes with orbax for checkpoint/resume (SURVEY.md §5)."""
+
     x: Array
     y: Array
     mu: Array
@@ -60,6 +72,127 @@ class _OuterCarry(NamedTuple):
     outer: Array
     inner_total: Array
     critical: Array
+
+
+def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCarry:
+    """Initial carry: projection of x0, LS multipliers, tolerance schedule
+    (ref :204-231)."""
+    dtype = x0.dtype
+    if opts.project_x0:
+        from ..ops.polyproject import projection_polyhedron
+
+        x0 = projection_polyhedron(poly, x0)  # no-op for feasible x0
+    cx0 = fns.nlconstraints(x0)
+    mu0 = jnp.asarray(opts.mu0, dtype)
+    omega0, eta0 = initial_tolerances(mu0, opts.omega0, opts.eta0, opts.k_crit, opts.k_feas)
+    y0 = least_squares_multipliers(x0, fns.residuals, fns.jac_res, fns.jac_nlcons)
+    return OuterCarry(
+        x=x0,
+        y=y0,
+        mu=mu0,
+        omega=jnp.asarray(omega0, dtype),
+        eta=jnp.asarray(eta0, dtype),
+        cx=cx0,
+        pix=jnp.asarray(jnp.inf, dtype),
+        best_pix=jnp.asarray(jnp.inf, dtype),
+        stall=jnp.asarray(0, jnp.int32),
+        outer=jnp.asarray(1, jnp.int32),
+        inner_total=jnp.asarray(0, jnp.int32),
+        critical=jnp.asarray(False),
+    )
+
+
+def outer_done(c: OuterCarry, opts: SolverOptions) -> Array:
+    """Loop-termination predicate (negation of ref :246 plus stall exit)."""
+    return c.critical | (c.outer > opts.max_outer_iter) | (c.stall >= opts.outer_stall_window)
+
+
+def outer_body(fns, poly: Polyhedron, opts: SolverOptions, atol: float, c: OuterCarry) -> OuterCarry:
+    """One outer AL iteration (ref :246-295)."""
+    # Tolerance floors (LANCELOT-style, absent in the reference): the
+    # schedules drive omega/eta below the *final* tolerances, demanding
+    # accuracy fp64 cannot certify — and a feasibility demand below
+    # feas_tol needlessly escalates mu, which raises the criticality
+    # noise floor (grad noise ∝ mu·eps) above crit_tol.  Clamp both.
+    omega_eff = jnp.maximum(c.omega, opts.crit_tol)
+    eta_eff = jnp.maximum(c.eta, opts.feas_tol)
+
+    sub = solve_subproblem(fns, poly, c.x, c.y, c.mu, omega_eff, opts, atol)
+    feas = jnp.linalg.norm(sub.cx)
+
+    accept = feas <= eta_eff                     # ref :273
+    critical = accept & (sub.pix <= opts.crit_tol) & (feas <= opts.feas_tol)  # ref :276
+
+    x = jnp.where(accept, sub.x, c.x)
+    cx = jnp.where(accept, sub.cx, c.cx)
+
+    # Accept branch (ref :278-283): multipliers + tolerance tightening,
+    # penalty unchanged.  Reject branch (ref :284-289): mu ← tau·mu,
+    # tolerances reset against the *new* mu.
+    mu_next = jnp.where(accept, c.mu, c.mu * opts.tau)
+    update = accept & (~critical)
+    y = jnp.where(update, c.y + c.mu * sub.cx, c.y)
+    omega = jnp.where(
+        critical,
+        c.omega,
+        jnp.where(update, c.omega / c.mu**opts.beta_crit, opts.omega0 / mu_next**opts.k_crit),
+    )
+    eta = jnp.where(
+        critical,
+        c.eta,
+        jnp.where(update, c.eta / c.mu**opts.beta_feas, opts.eta0 / mu_next**opts.k_feas),
+    )
+    # Outer stall: pi not improving while feasibility is already at
+    # final tolerance (otherwise mu escalation is still doing real work).
+    improved = sub.pix < opts.stall_ratio * c.best_pix
+    at_floor = feas <= opts.feas_tol
+    stall = jnp.where(improved | ~at_floor, 0, c.stall + 1)
+
+    if opts.verbose:
+        from ..harness.logging import emit_outer_iter
+
+        rxn = fns.residuals(x)
+        jax.debug.callback(
+            emit_outer_iter,
+            c.outer + 1,
+            jnp.vdot(rxn, rxn),
+            feas,
+            mu_next,
+            sub.pix,
+            omega,
+            ordered=True,
+        )
+
+    return OuterCarry(
+        x=x,
+        y=y,
+        mu=mu_next,
+        omega=omega,
+        eta=eta,
+        cx=cx,
+        pix=sub.pix,
+        best_pix=jnp.minimum(sub.pix, c.best_pix),
+        stall=stall,
+        outer=c.outer + 1,
+        inner_total=c.inner_total + sub.inner_iters,
+        critical=critical,
+    )
+
+
+def carry_info(out: OuterCarry, opts: SolverOptions) -> SolveInfo:
+    return SolveInfo(
+        converged=out.critical,
+        status=jnp.where(
+            out.critical,
+            SOLVE_CONVERGED,
+            jnp.where(out.stall >= opts.outer_stall_window, SOLVE_STALLED, SOLVE_MAX_OUTER),
+        ),
+        outer_iters=out.outer - 1,
+        inner_iters=out.inner_total,
+        pix=out.pix,
+        feas=jnp.linalg.norm(out.cx),
+        mu=out.mu,
+    )
 
 
 def solve_fixed_point(
@@ -75,111 +208,12 @@ def solve_fixed_point(
     """
     dtype = x0.dtype
     opts = opts.resolve_tols(jnp.dtype(dtype))
-    import numpy as _np
+    atol = default_atol(dtype)
 
-    atol = float(_np.sqrt(_np.finfo(_np.dtype(str(dtype))).eps))
-
-    if opts.project_x0:
-        from ..ops.polyproject import projection_polyhedron
-
-        x0 = projection_polyhedron(poly, x0)  # no-op for feasible x0
-    cx0 = fns.nlconstraints(x0)
-    mu0 = jnp.asarray(opts.mu0, dtype)
-    omega0, eta0 = initial_tolerances(mu0, opts.omega0, opts.eta0, opts.k_crit, opts.k_feas)
-    # ref :230: initial least-squares multiplier estimate.
-    y0 = least_squares_multipliers(x0, fns.residuals, fns.jac_res, fns.jac_nlcons)
-
-    c0 = _OuterCarry(
-        x=x0,
-        y=y0,
-        mu=mu0,
-        omega=jnp.asarray(omega0, dtype),
-        eta=jnp.asarray(eta0, dtype),
-        cx=cx0,
-        pix=jnp.asarray(jnp.inf, dtype),
-        best_pix=jnp.asarray(jnp.inf, dtype),
-        stall=jnp.asarray(0, jnp.int32),
-        outer=jnp.asarray(1, jnp.int32),
-        inner_total=jnp.asarray(0, jnp.int32),
-        critical=jnp.asarray(False),
+    c0 = outer_init(fns, poly, x0, opts)
+    out = lax.while_loop(
+        lambda c: ~outer_done(c, opts),
+        lambda c: outer_body(fns, poly, opts, atol, c),
+        c0,
     )
-
-    def cond(c: _OuterCarry):
-        # ref :246: while !first_order_critical && outer_iter <= max_outer_iter
-        # plus the stall exit: pi at its dtype floor with feasibility already
-        # at tolerance cannot improve; stop instead of burning the cap.
-        return (
-            (~c.critical)
-            & (c.outer <= opts.max_outer_iter)
-            & (c.stall < opts.outer_stall_window)
-        )
-
-    def body(c: _OuterCarry):
-        # Tolerance floors (LANCELOT-style, absent in the reference): the
-        # schedules drive omega/eta below the *final* tolerances, demanding
-        # accuracy fp64 cannot certify — and a feasibility demand below
-        # feas_tol needlessly escalates mu, which raises the criticality
-        # noise floor (grad noise ∝ mu·eps) above crit_tol.  Clamp both.
-        omega_eff = jnp.maximum(c.omega, opts.crit_tol)
-        eta_eff = jnp.maximum(c.eta, opts.feas_tol)
-
-        sub = solve_subproblem(fns, poly, c.x, c.y, c.mu, omega_eff, opts, atol)
-        feas = jnp.linalg.norm(sub.cx)
-
-        accept = feas <= eta_eff                     # ref :273
-        critical = accept & (sub.pix <= opts.crit_tol) & (feas <= opts.feas_tol)  # ref :276
-
-        x = jnp.where(accept, sub.x, c.x)
-        cx = jnp.where(accept, sub.cx, c.cx)
-
-        # Accept branch (ref :278-283): multipliers + tolerance tightening,
-        # penalty unchanged.  Reject branch (ref :284-289): mu ← tau·mu,
-        # tolerances reset against the *new* mu.
-        mu_next = jnp.where(accept, c.mu, c.mu * opts.tau)
-        update = accept & (~critical)
-        y = jnp.where(update, c.y + c.mu * sub.cx, c.y)
-        omega = jnp.where(
-            critical,
-            c.omega,
-            jnp.where(update, c.omega / c.mu**opts.beta_crit, opts.omega0 / mu_next**opts.k_crit),
-        )
-        eta = jnp.where(
-            critical,
-            c.eta,
-            jnp.where(update, c.eta / c.mu**opts.beta_feas, opts.eta0 / mu_next**opts.k_feas),
-        )
-        # Outer stall: pi not improving while feasibility is already at
-        # final tolerance (otherwise mu escalation is still doing real work).
-        improved = sub.pix < opts.stall_ratio * c.best_pix
-        at_floor = feas <= opts.feas_tol
-        stall = jnp.where(improved | ~at_floor, 0, c.stall + 1)
-        return _OuterCarry(
-            x=x,
-            y=y,
-            mu=mu_next,
-            omega=omega,
-            eta=eta,
-            cx=cx,
-            pix=sub.pix,
-            best_pix=jnp.minimum(sub.pix, c.best_pix),
-            stall=stall,
-            outer=c.outer + 1,
-            inner_total=c.inner_total + sub.inner_iters,
-            critical=critical,
-        )
-
-    out = lax.while_loop(cond, body, c0)
-    info = SolveInfo(
-        converged=out.critical,
-        status=jnp.where(
-            out.critical,
-            SOLVE_CONVERGED,
-            jnp.where(out.stall >= opts.outer_stall_window, SOLVE_STALLED, SOLVE_MAX_OUTER),
-        ),
-        outer_iters=out.outer - 1,
-        inner_iters=out.inner_total,
-        pix=out.pix,
-        feas=jnp.linalg.norm(out.cx),
-        mu=out.mu,
-    )
-    return out.x, out.y, info
+    return out.x, out.y, carry_info(out, opts)

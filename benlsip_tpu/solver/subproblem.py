@@ -162,6 +162,14 @@ def solve_subproblem(
 
         accept = rho > opts.eta1                 # ref :358
 
+        if opts.verbose:
+            from ..harness.logging import emit_inner_iter
+
+            # ref :356: print k, AL value, ‖s‖, Δ, ρ.
+            jax.debug.callback(
+                emit_inner_iter, c.k, c.mx, jnp.linalg.norm(s), c.delta, rho, ordered=True
+            )
+
         def refresh(_):
             # ref :361-362: derivatives only on acceptance.
             Jn = fns.jac_res(x_next)
