@@ -43,6 +43,8 @@ Array = jax.Array
 class _NewtonCarry(NamedTuple):
     lam: Array
     Fnorm: Array
+    best: Array
+    stall: Array
     it: Array
 
 
@@ -52,13 +54,18 @@ def projection_polyhedron(
     tol: float | None = None,
     max_iter: int = 100,
     reg: float | None = None,
-) -> Array:
+    lam0: Array | None = None,
+    return_lam: bool = False,
+):
     """Project x onto {v : Av = b, l ≤ v ≤ u}. Jittable; vmap for batches.
 
     Replaces `projection_polyhedron` (ref
     `src/polyhedral_constraints.jl:179-198`).  `tol` defaults to
     sqrt(eps(dtype))·eps-grade stationarity on the dual residual ‖Av*-b‖;
     `reg` is the Tikhonov jitter on A D Aᵀ guarding degenerate active sets.
+    `lam0` warm-starts the dual (callers projecting a slowly-moving point —
+    the per-TR-iteration criticality measure — converge in 1-2 Newton steps
+    warm vs ~5-15 cold); `return_lam=True` also returns the final dual.
     """
     dtype = x.dtype
     eps = jnp.finfo(dtype).eps
@@ -66,11 +73,15 @@ def projection_polyhedron(
         tol = float(eps) ** 0.75  # tighter than sqrt(eps); Newton hits it fast
     if reg is None:
         reg = float(eps) ** 0.5
+    # Root-finder geometry ~ mantissa bits: 16x shrink per section round.
+    grow_pows = 40 if dtype == jnp.float32 else 60
+    n_section = 6 if dtype == jnp.float32 else 14
 
     A, b, l, u = poly.A, poly.b, poly.xl, poly.xu
     m = A.shape[0]
     if m == 0:
-        return jnp.clip(x, l, u)
+        v = jnp.clip(x, l, u)
+        return (v, jnp.zeros((0,), dtype)) if return_lam else v
 
     eye = jnp.eye(m, dtype=dtype)
     tol_val = jnp.asarray(tol, dtype) * (1 + jnp.linalg.norm(b))
@@ -88,7 +99,10 @@ def projection_polyhedron(
         return 0.5 * jnp.vdot(v - x, v - x) + jnp.vdot(lam, A @ v - b)
 
     def cond(c: _NewtonCarry):
-        return (c.Fnorm > tol_val) & (c.it < max_iter)
+        # Stall exit: at the dtype's dual-residual floor (‖F‖ can sit just
+        # above tol) further Newton steps are roundoff churn; without this
+        # a lane spins to max_iter and, under vmap, drags the whole batch.
+        return (c.Fnorm > tol_val) & (c.it < max_iter) & (c.stall < 4)
 
     def body(c: _NewtonCarry):
         lam = c.lam
@@ -103,42 +117,62 @@ def projection_polyhedron(
         # Exact linesearch: along lam + t·dlam the dual q is concave
         # piecewise-quadratic, so its slope
         #     phi(t) = dᵀ∇q = wᵀ clip(z0 - t·w, l, u) - dᵀb,   w = Aᵀ·dlam
-        # is non-increasing; bracket its root by doubling, then bisect.
-        # Each phi eval is O(n) vector work (no matvec).  K SPD ⇒ dlam is an
-        # ascent direction (phi(0) = FᵀK⁻¹F > 0), so progress is guaranteed
-        # even when K is nearly singular and the Newton length is meaningless.
+        # is non-increasing; find its root.  K SPD ⇒ dlam is an ascent
+        # direction (phi(0) = FᵀK⁻¹F > 0) even when K is nearly singular.
+        # Root finding is VECTORIZED: each round evaluates phi on a whole
+        # grid of t's as one (T, n) clip+reduce (sequential while-loop
+        # doubling/bisection cost ~90 latency-bound steps per Newton
+        # iteration and dominated the solver's criticality measure).
         z0 = x - A.T @ lam
         w = A.T @ dlam
         db = jnp.vdot(dlam, b)
 
-        def phi(t):
-            return jnp.vdot(w, jnp.clip(z0 - t * w, l, u)) - db
+        def phi_grid(ts):
+            V = jnp.clip(z0[None, :] - ts[:, None] * w[None, :], l[None, :], u[None, :])
+            return V @ w - db
 
-        def grow(state):
-            t_hi, _ = state
-            return (t_hi * 2.0, phi(t_hi * 2.0))
+        # Octave bracket: one evaluation over t = 2^0..2^grow_pows.
+        ts = jnp.asarray(2.0, dtype) ** jnp.arange(0, grow_pows + 1, dtype=jnp.int32).astype(dtype)
+        ph = phi_grid(ts)
+        any_neg = jnp.any(ph <= 0)
+        first_neg = jnp.argmax(ph <= 0)  # first index with phi ≤ 0
+        t_hi = jnp.where(any_neg, ts[first_neg], ts[-1])
+        t_lo = jnp.where(any_neg & (first_neg > 0), ts[jnp.maximum(first_neg - 1, 0)], 0.0)
 
-        def grow_cond(state):
-            t_hi, p = state
-            return (p > 0) & (t_hi < 1e18)
+        # K-way section: interval shrinks (K-1)x per round.
+        K_SEC = 17
 
-        t_hi, _ = lax.while_loop(grow_cond, grow, (jnp.asarray(1.0, dtype), phi(jnp.asarray(1.0, dtype))))
+        def section(_, tlohi):
+            lo, hi = tlohi
+            grid = lo + (hi - lo) * jnp.linspace(0.0, 1.0, K_SEC).astype(dtype)
+            pg = phi_grid(grid)
+            pos = pg > 0
+            # last grid point with phi > 0 (phi(lo) > 0 by bracket invariant)
+            idx = jnp.maximum(jnp.sum(pos.astype(jnp.int32)) - 1, 0)
+            new_lo = grid[idx]
+            new_hi = grid[jnp.minimum(idx + 1, K_SEC - 1)]
+            return (new_lo, jnp.where(new_hi > new_lo, new_hi, hi))
 
-        def bisect(_, tlohi):
-            t_lo, t_hi = tlohi
-            t_mid = 0.5 * (t_lo + t_hi)
-            pos = phi(t_mid) > 0
-            return (jnp.where(pos, t_mid, t_lo), jnp.where(pos, t_hi, t_mid))
-
-        t_lo, t_hi = lax.fori_loop(0, 64, bisect, (jnp.asarray(0.0, dtype), t_hi))
+        t_lo, t_hi = lax.fori_loop(0, n_section, section, (t_lo, t_hi))
         t_star = 0.5 * (t_lo + t_hi)
         # Monotone safeguard (roundoff): never accept a dual decrease.
         lam_new = jnp.where(q_of(lam + t_star * dlam) >= q_of(lam), lam + t_star * dlam, lam)
-        return _NewtonCarry(lam_new, jnp.linalg.norm(F_of(lam_new)), c.it + 1)
+        fn_new = jnp.linalg.norm(F_of(lam_new))
+        improved = fn_new < 0.7 * c.best
+        return _NewtonCarry(
+            lam_new,
+            fn_new,
+            jnp.minimum(fn_new, c.best),
+            jnp.where(improved, 0, c.stall + 1),
+            c.it + 1,
+        )
 
-    lam0 = jnp.zeros((m,), dtype)
-    c0 = _NewtonCarry(lam0, jnp.linalg.norm(F_of(lam0)), jnp.asarray(0, jnp.int32))
+    lam_init = jnp.zeros((m,), dtype) if lam0 is None else jnp.asarray(lam0, dtype)
+    fn0 = jnp.linalg.norm(F_of(lam_init))
+    c0 = _NewtonCarry(lam_init, fn0, fn0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     out = lax.while_loop(cond, body, c0)
+    if return_lam:
+        return v_of(out.lam), out.lam
     return v_of(out.lam)
 
 

@@ -52,14 +52,19 @@ def reduced_gradient_measure(poly: Polyhedron, aset: ActiveSet, g: Array) -> Arr
     return norm_reduced_gradient(poly, aset, g)
 
 
-def criticality_measure(poly: Polyhedron, x: Array, g: Array) -> Array:
+def criticality_measure(poly: Polyhedron, x: Array, g: Array, lam0: Array | None = None):
     """pi(x) = ‖P_Ω(x - g) - x‖ with P_Ω the exact polyhedral projection —
     the reference's alternative 6-arg measure (ref :850-860) and its tests'
     KKT oracle (ref `test/problems/sphere_regression.jl:58-62`).  The only
     measure that is sound in every active-set configuration; here it is
     jittable in-framework (ops/polyproject.py), so the live loop can afford
-    what the reference could not (an Ipopt call per iteration)."""
-    return jnp.linalg.norm(projection_polyhedron(poly, x - g) - x)
+    what the reference could not (an Ipopt call per iteration).  Cold-started
+    on purpose: a stale warm dual hovers at the f32 residual floor and spins
+    the Newton loop to its cap (measured ~20x slower than cold); returns
+    (pi, lam) so callers can inspect the projection multipliers."""
+    del lam0
+    p, lam = projection_polyhedron(poly, x - g, return_lam=True)
+    return jnp.linalg.norm(p - x), lam
 
 
 class _TRCarry(NamedTuple):
@@ -71,6 +76,7 @@ class _TRCarry(NamedTuple):
     H: AlHessian
     delta: Array
     pix: Array
+    crit_lam: Array
     best_pix: Array
     stall: Array
     k: Array
@@ -118,6 +124,7 @@ def solve_subproblem(
         H=H0,
         delta=delta0,
         pix=jnp.asarray(jnp.inf, dtype),
+        crit_lam=jnp.zeros((poly.A.shape[0],), dtype),
         best_pix=jnp.asarray(jnp.inf, dtype),
         stall=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(1, jnp.int32),
@@ -191,12 +198,12 @@ def solve_subproblem(
         # ref :369 measures pi with the active set as left by inner_step —
         # including TR-face hits, which can spuriously report criticality
         # (latent reference flaw).  Use the exact projected-gradient measure.
-        pix = criticality_measure(poly, x, g)
+        pix, crit_lam = criticality_measure(poly, x, g, lam0=c.crit_lam)
         solved = pix < omega_tol
         improved = pix < opts.stall_ratio * c.best_pix
         best_pix = jnp.minimum(pix, c.best_pix)
         stall = jnp.where(improved, 0, c.stall + 1)
-        return _TRCarry(x, rx, cx, mx, g, H, delta, pix, best_pix, stall, c.k + 1, solved)
+        return _TRCarry(x, rx, cx, mx, g, H, delta, pix, crit_lam, best_pix, stall, c.k + 1, solved)
 
     out = lax.while_loop(cond, body, c0)
     return SubproblemResult(x=out.x, rx=out.rx, cx=out.cx, pix=out.pix, inner_iters=out.k - 1)

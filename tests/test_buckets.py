@@ -1,0 +1,52 @@
+"""Padding/bucketing utilities: padded residuals solve identically; bucket
+assignment covers all instances; difficulty reorder round-trips."""
+import numpy as np
+import jax.numpy as jnp
+
+from benlsip_tpu.batch.buckets import (
+    assign_buckets,
+    bucket_edges,
+    difficulty_order,
+    inverse_order,
+    pad_residuals,
+    reorder,
+)
+from benlsip_tpu.batch.vmap_solve import BatchedProblem, solve_batched
+from benlsip_tpu.problems.generators import exp_fit_family
+from benlsip_tpu.solver.options import SolverOptions
+
+
+def test_padded_residuals_solve_identically():
+    B, d = 8, 12
+    bp, theta, X0 = exp_fit_family(B, d=d, seed=7)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X_ref, _, i_ref = solve_batched(bp, theta, X0, opts)
+
+    import dataclasses
+
+    bp_pad = dataclasses.replace(bp, residuals=pad_residuals(bp.residuals, d + 9))
+    X_pad, _, i_pad = solve_batched(bp_pad, theta, X0, opts)
+    np.testing.assert_allclose(np.asarray(X_pad), np.asarray(X_ref), rtol=1e-9, atol=1e-11)
+    np.testing.assert_array_equal(np.asarray(i_pad.converged), np.asarray(i_ref.converged))
+
+
+def test_bucket_assignment_partitions():
+    sizes = [3, 17, 9, 33, 12, 12, 64, 5]
+    edges = bucket_edges(sizes, max_buckets=3)
+    assert edges[-1] >= max(sizes)
+    groups = assign_buckets(sizes, edges)
+    all_idx = np.sort(np.concatenate(groups))
+    np.testing.assert_array_equal(all_idx, np.arange(len(sizes)))
+    for g, e in zip(groups, edges):
+        assert all(sizes[i] <= e for i in g)
+
+
+def test_difficulty_reorder_roundtrip():
+    iters = jnp.asarray([50, 3, 20, 7])
+    order = difficulty_order(iters)
+    assert list(np.asarray(iters)[order]) == sorted([50, 3, 20, 7])
+    tree = {"a": jnp.arange(4.0), "b": jnp.arange(8.0).reshape(4, 2)}
+    fwd = reorder(tree, order)
+    back = reorder(fwd, inverse_order(order))
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(tree["b"]))
