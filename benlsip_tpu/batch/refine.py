@@ -1,0 +1,113 @@
+"""Mixed-precision pipeline: f32 bulk solve + f64 refinement.
+
+The BASELINE metric demands KKT-tolerance 1e-8 solutions ("bit-comparable"
+with the f64 Julia reference), but sqrt(eps(f32)) ≈ 3.5e-4 bounds what a
+pure-f32 TPU solve can certify.  The pipeline here:
+
+1. bulk phase — the full TRALCNLLS iteration in f32 on TPU (fast: native
+   dtype, MXU/VPU rates), run to the f32 criticality floor;
+2. refinement — restart the same iteration in f64 from the f32 solution.
+   Warm-started this takes O(1) outer iterations per instance.  The f64
+   phase runs on the configured refinement backend: CPU by default (the
+   axon TPU runtime currently faults on the f64-emulated full program; on
+   stacks with working f64 emulation pass device=None to stay on-device).
+
+Accuracy: the f32 point is within ~1e-4 of the solution; f64 Gauss-Newton
+contraction from there reaches the 1e-8 KKT region in 1-3 accepted steps.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.options import SolverOptions
+from ..solver.outer import SolveInfo
+from .vmap_solve import BatchedProblem, solve_batched_chunked
+
+Array = jax.Array
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, tree
+    )
+
+
+def refine_f64(
+    bp: BatchedProblem,
+    theta,
+    X: Array,
+    options: SolverOptions = SolverOptions(),
+    device: Optional[jax.Device] = "cpu",
+    max_outer: int = 10,
+    chunk: int = 512,
+) -> Tuple[Array, Array, SolveInfo]:
+    """Polish batched f32 solutions X to f64 KKT grade.
+
+    Returns (X64, Y64, info) with f64 tolerances (sqrt(eps(f64)) ≈ 1.5e-8
+    by default).  `device='cpu'` places the refinement on host; pass
+    device=None to keep the ambient backend.
+    """
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "refine_f64 requires jax_enable_x64 (set jax.config.update('jax_enable_x64', True))"
+        )
+    opts = dataclasses.replace(
+        options,
+        max_outer_iter=max_outer,
+        # Warm start: x0 is essentially feasible already; keep projection on
+        # (cheap) to clean up f32-level bound violations.
+    )
+    bp64 = dataclasses.replace(
+        bp,
+        A=None if bp.A is None else bp.A.astype(jnp.float64),
+        b=None if bp.b is None else bp.b.astype(jnp.float64),
+        xl=None if bp.xl is None else bp.xl.astype(jnp.float64),
+        xu=None if bp.xu is None else bp.xu.astype(jnp.float64),
+    )
+    theta64 = _cast_tree(theta, jnp.float64)
+    X64 = X.astype(jnp.float64)
+
+    if device == "cpu":
+        dev = jax.devices("cpu")[0]
+        theta64 = jax.device_put(theta64, dev)
+        X64 = jax.device_put(X64, dev)
+        bp64 = dataclasses.replace(
+            bp64,
+            A=None if bp64.A is None else jax.device_put(bp64.A, dev),
+            b=None if bp64.b is None else jax.device_put(bp64.b, dev),
+            xl=None if bp64.xl is None else jax.device_put(bp64.xl, dev),
+            xu=None if bp64.xu is None else jax.device_put(bp64.xu, dev),
+        )
+        with jax.default_device(dev):
+            return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
+    return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
+
+
+def solve_mixed_precision(
+    bp: BatchedProblem,
+    theta,
+    X0: Array,
+    options: SolverOptions = SolverOptions(),
+    chunk: int = 512,
+    refine_device: Optional[jax.Device] = "cpu",
+) -> Tuple[Array, Array, SolveInfo]:
+    """f32 bulk solve (ambient device) + f64 refinement; returns f64 results."""
+    theta32 = _cast_tree(theta, jnp.float32)
+    X32, _, _ = solve_batched_chunked(
+        dataclasses.replace(
+            bp,
+            A=None if bp.A is None else bp.A.astype(jnp.float32),
+            b=None if bp.b is None else bp.b.astype(jnp.float32),
+            xl=None if bp.xl is None else bp.xl.astype(jnp.float32),
+            xu=None if bp.xu is None else bp.xu.astype(jnp.float32),
+        ),
+        theta32,
+        X0.astype(jnp.float32),
+        options,
+        chunk=chunk,
+    )
+    return refine_f64(bp, theta, X32, options, device=refine_device, chunk=chunk)

@@ -216,4 +216,8 @@ def solve_fixed_point(
         lambda c: outer_body(fns, poly, opts, atol, c),
         c0,
     )
-    return out.x, out.y, carry_info(out, opts)
+    # At a critical exit the reference skips the multiplier update
+    # (ref :276-283), returning a y that is one first-order update stale —
+    # the converged estimate is the y_bar = y + mu·c its own gradient used.
+    y_final = jnp.where(out.critical, out.y + out.mu * out.cx, out.y)
+    return out.x, y_final, carry_info(out, opts)

@@ -1,0 +1,67 @@
+"""Mixed-precision pipeline: f32 bulk + f64 refinement reaches the f64 KKT
+grade (the BASELINE 1e-8 tolerance) that pure f32 cannot certify."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from benlsip_tpu.batch.refine import refine_f64, solve_mixed_precision
+from benlsip_tpu.batch.vmap_solve import solve_batched
+from benlsip_tpu.ops.polyproject import projection_polyhedron
+from benlsip_tpu.problems.generators import exp_fit_family, sphere_family
+from benlsip_tpu.solver.options import SolverOptions
+
+
+def kkt_measures(bp, theta, X, Y):
+    """Exact projected-gradient KKT measure per instance (f64)."""
+    n = X.shape[-1]
+    poly = bp.polyhedron(n, jnp.float64)
+
+    def one(theta_i, x, y, poly_i):
+        fns = bp.instance_fns(theta_i)
+        g = fns.jac_res(x).T @ fns.residuals(x) + fns.jac_nlcons(x).T @ y
+        p = projection_polyhedron(poly_i, x - g)
+        return jnp.linalg.norm(x - p)
+
+    from benlsip_tpu.ops.constraints import Polyhedron
+
+    base = Polyhedron(A=2, b=1, xl=1, xu=1)
+    axes = Polyhedron(
+        *[0 if getattr(poly, f).ndim > getattr(base, f) else None for f in Polyhedron._fields]
+    )
+    return jax.vmap(one, in_axes=(0, 0, 0, axes))(theta, X, Y, poly)
+
+
+def test_mixed_precision_reaches_f64_kkt():
+    B = 32
+    bp, theta, X0 = sphere_family(B, seed=21)
+    opts = SolverOptions(max_outer_iter=100, max_inner_iter=300)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=32)
+    assert X.dtype == jnp.float64
+    conv = float(jnp.mean(info.converged.astype(jnp.float64)))
+    assert conv >= 0.9
+    kkt = np.asarray(kkt_measures(bp, theta, X, Y))
+    ok = np.asarray(info.converged)
+    # Converged instances certify the f64-grade KKT tolerance.
+    assert np.all(kkt[ok] < 1e-7), kkt[ok].max()
+
+
+def test_refinement_is_cheap_warm():
+    # From an f32 solution the f64 phase needs very few outer iterations.
+    B = 16
+    bp, theta, X0 = exp_fit_family(B, d=16, seed=13)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    import dataclasses
+
+    bp32 = dataclasses.replace(
+        bp,
+        A=None if bp.A is None else bp.A.astype(jnp.float32),
+        b=None if bp.b is None else bp.b.astype(jnp.float32),
+        xl=bp.xl.astype(jnp.float32),
+        xu=bp.xu.astype(jnp.float32),
+    )
+    th32 = jax.tree.map(lambda a: a.astype(jnp.float32), theta)
+    X32, _, i32 = solve_batched(bp32, th32, X0.astype(jnp.float32), opts)
+    X64, Y64, i64 = refine_f64(bp, theta, X32, opts)
+    assert float(jnp.mean(i64.converged.astype(jnp.float64))) >= 0.9
+    # Refinement outer iterations are few (warm start).
+    assert float(jnp.median(i64.outer_iters.astype(jnp.float64))) <= 5
