@@ -33,6 +33,31 @@ def test_dp_sharded_matches_single_device():
     np.testing.assert_array_equal(np.asarray(i_sh.converged), np.asarray(i_ref.converged))
 
 
+def test_tp_blocked_medium_instance_converges():
+    # Config-4 shape at CI scale: one n=256/d=1024 instance, rows sharded
+    # 8 ways (a n=2048/d=8192 run solves in 3 outer iterations, see git log).
+    n, d, m = 256, 1024, 4
+    rng = np.random.default_rng(17)
+    J = jnp.asarray(rng.standard_normal((d, n)) / np.sqrt(d))
+    x_true = rng.standard_normal(n)
+    y = J @ jnp.asarray(x_true) + 0.01 * jnp.asarray(rng.standard_normal(d))
+    A = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(n))
+    problem = Problem(
+        residuals=lambda x: J @ x - y,
+        jac_res=lambda x: J,
+        A=A,
+        b=A @ jnp.asarray(x_true),
+        xl=jnp.full(n, -3.0),
+        xu=jnp.full(n, 3.0),
+    )
+    mesh = make_mesh(batch=1, block=8)
+    opts = SolverOptions(max_outer_iter=10, max_inner_iter=60)
+    x, yl, info = solve_large_blocked(problem, jnp.zeros(n), opts, mesh)
+    assert bool(info.converged)
+    rel = float(jnp.linalg.norm(x - jnp.asarray(x_true)) / np.linalg.norm(x_true))
+    assert rel < 0.1  # regularized LSQ with noise: close to ground truth
+
+
 def test_tp_blocked_jacobian_matches_single_device():
     # One medium instance, residual dimension sharded over 4 chips.
     n, d, m = 24, 64, 2
