@@ -1,17 +1,22 @@
-"""Benchmark harness: batched constrained-NLS throughput on the default
-device (the TPU chip under the driver), vs a sequential per-instance CPU
-loop standing in for the reference's single-core execution model.
+"""Benchmark harness: batched constrained-NLS throughput to f64 KKT grade,
+vs a sequential per-instance CPU loop standing in for the reference's
+single-core execution model.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "problems/sec", "vs_baseline": N, ...}
 
 Workload: BASELINE config 2 — a batch of independent small NLS instances
-(n=3 exponential curve fits, box bounds + a per-instance linear equality),
-solved to the working dtype's sqrt(eps) KKT tolerance.  The reference
-(BEnlsip.jl) publishes no numbers and Julia is not installed in this image
-(BASELINE.md), so the baseline is the same solver run sequentially one
-instance at a time on CPU — the reference's execution model — measured in
-the same process.  Only converged instances count toward throughput.
+(n=3 exponential curve fits, box bounds + a per-instance linear equality).
+The timed pipeline is the mixed-precision solve: f32 bulk phase on the
+default device (the TPU chip under the driver) + warm-started f64
+refinement (CPU host; see batch/refine.py), counting instances that
+converge to the f64 tolerance sqrt(eps) ≈ 1.49e-8 — the reference's own
+"solved" definition, making the comparison KKT-comparable.
+
+The reference (BEnlsip.jl) publishes no numbers and Julia is not installed
+in this image (BASELINE.md), so the baseline is the same solver run
+sequentially one instance at a time in f64 on CPU — the reference's
+execution model — measured in the same process.
 """
 from __future__ import annotations
 
@@ -19,19 +24,23 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 
 
-def _time_batched(bp, theta, X0, opts, device, chunk=512):
-    from benlsip_tpu.batch.vmap_solve import solve_batched_chunked
+def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
+    """Mixed-precision pipeline: f32 bulk on `device`, f64 refine on CPU."""
+    from benlsip_tpu.batch.refine import solve_mixed_precision
 
     theta_d = jax.device_put(theta, device)
     X0_d = jax.device_put(X0, device)
-    # Warmup (compile)
-    X, Y, info = solve_batched_chunked(bp, theta_d, X0_d, opts, chunk=chunk)
+    # Warmup (compile both phases)
+    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk)
     jax.block_until_ready(X)
     t0 = time.perf_counter()
-    X, Y, info = solve_batched_chunked(bp, theta_d, X0_d, opts, chunk=chunk)
+    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk)
     jax.block_until_ready(X)
     dt = time.perf_counter() - t0
     conv = int(jnp.sum(info.converged))
@@ -60,14 +69,14 @@ def main():
     from benlsip_tpu.problems.generators import exp_fit_family
     from benlsip_tpu.solver.options import SolverOptions
 
-    dtype = jnp.float32  # native TPU dtype; f64 runs on CPU (see SKILL.md)
     B = 1024
     opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
 
-    bp, theta, X0 = exp_fit_family(B, d=32, seed=42, dtype=dtype)
+    # f64 master data; the pipeline casts to f32 for the bulk phase.
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=42, dtype=jnp.float64)
     dev = jax.devices()[0]
 
-    dt_b, conv_b = _time_batched(bp, theta, X0, opts, dev)
+    dt_b, conv_b = _time_pipeline(bp, theta, X0, opts, dev)
     rate = conv_b / dt_b
 
     k = 8
@@ -77,14 +86,14 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "batched constrained-NLS problems solved/sec (config-2 suite, f32 KKT sqrt(eps))",
+                "metric": "constrained-NLS problems solved/sec to f64 KKT tol 1.5e-8 (config-2 suite; f32 bulk + f64 refine)",
                 "value": round(rate, 2),
                 "unit": "problems/sec",
                 "vs_baseline": round(rate / base_rate, 2),
                 "batch": B,
                 "converged_frac": round(conv_b / B, 4),
-                "batched_wall_s": round(dt_b, 3),
-                "baseline": "sequential per-instance CPU loop (Julia unavailable; see BASELINE.md)",
+                "pipeline_wall_s": round(dt_b, 3),
+                "baseline": "sequential per-instance f64 CPU loop (Julia unavailable; see BASELINE.md)",
                 "baseline_rate": round(base_rate, 3),
                 "device": str(dev),
             }
