@@ -37,10 +37,10 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
     theta_d = jax.device_put(theta, device)
     X0_d = jax.device_put(X0, device)
     # Warmup (compile both phases)
-    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk)
+    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk, sort_by_difficulty=True)
     jax.block_until_ready(X)
     t0 = time.perf_counter()
-    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk)
+    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk, sort_by_difficulty=True)
     jax.block_until_ready(X)
     dt = time.perf_counter() - t0
     conv = int(jnp.sum(info.converged))

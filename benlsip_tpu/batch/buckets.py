@@ -78,3 +78,49 @@ def inverse_order(order: np.ndarray) -> np.ndarray:
     inv = np.empty_like(order)
     inv[order] = np.arange(order.shape[0])
     return inv
+
+
+def solve_batched_sorted(
+    bp,
+    theta,
+    X0,
+    options,
+    chunk: int = 128,
+    pilot_outer: int = 2,
+    pilot_inner: int = 8,
+):
+    """Chunked batched solve with difficulty-sorted instance order.
+
+    A capped pilot run ranks instances by consumed TR iterations; the real
+    solve then runs difficulty-ordered chunks, so each lockstep chunk waits
+    only for peers of similar cost (total ≈ the integral of the sorted
+    difficulty profile instead of n_chunks × global max).  Results are
+    returned in the original instance order.
+    """
+    import dataclasses
+
+    from .vmap_solve import solve_batched_chunked
+
+    pilot_opts = dataclasses.replace(
+        options, max_outer_iter=pilot_outer, max_inner_iter=pilot_inner
+    )
+    _, _, pilot_info = solve_batched_chunked(bp, theta, X0, pilot_opts, chunk=max(chunk, 512))
+    # Rank by pilot cost; instances that already converged in the pilot sort
+    # first (their real solve is equally short).
+    cost = np.asarray(pilot_info.inner_iters) + 1000 * (~np.asarray(pilot_info.converged))
+    order = np.argsort(cost, kind="stable")
+
+    theta_s = reorder(theta, order)
+    X0_s = jnp.asarray(X0)[jnp.asarray(order)]
+    # Reorder per-instance constraint data too.
+    base = {"A": 2, "b": 1, "xl": 1, "xu": 1}
+    upd = {
+        f: getattr(bp, f)[jnp.asarray(order)]
+        for f in base
+        if getattr(bp, f) is not None and getattr(bp, f).ndim > base[f]
+    }
+    bp_s = dataclasses.replace(bp, **upd) if upd else bp
+
+    X, Y, info = solve_batched_chunked(bp_s, theta_s, X0_s, options, chunk=chunk)
+    inv = jnp.asarray(inverse_order(order))
+    return jax.tree.map(lambda a: a[inv] if a.ndim >= 1 and a.shape[0] == X0_s.shape[0] else a, (X, Y, info))

@@ -94,20 +94,31 @@ def solve_mixed_precision(
     options: SolverOptions = SolverOptions(),
     chunk: int = 512,
     refine_device: Optional[jax.Device] = "cpu",
+    sort_by_difficulty: bool = False,
+    sort_chunk: int = 128,
 ) -> Tuple[Array, Array, SolveInfo]:
-    """f32 bulk solve (ambient device) + f64 refinement; returns f64 results."""
+    """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
+
+    sort_by_difficulty runs the bulk phase in pilot-ranked chunks
+    (batch.buckets.solve_batched_sorted): each lockstep chunk waits only
+    for peers of similar cost.
+    """
     theta32 = _cast_tree(theta, jnp.float32)
-    X32, _, _ = solve_batched_chunked(
-        dataclasses.replace(
-            bp,
-            A=None if bp.A is None else bp.A.astype(jnp.float32),
-            b=None if bp.b is None else bp.b.astype(jnp.float32),
-            xl=None if bp.xl is None else bp.xl.astype(jnp.float32),
-            xu=None if bp.xu is None else bp.xu.astype(jnp.float32),
-        ),
-        theta32,
-        X0.astype(jnp.float32),
-        options,
-        chunk=chunk,
+    bp32 = dataclasses.replace(
+        bp,
+        A=None if bp.A is None else bp.A.astype(jnp.float32),
+        b=None if bp.b is None else bp.b.astype(jnp.float32),
+        xl=None if bp.xl is None else bp.xl.astype(jnp.float32),
+        xu=None if bp.xu is None else bp.xu.astype(jnp.float32),
     )
+    if sort_by_difficulty:
+        from .buckets import solve_batched_sorted
+
+        X32, _, _ = solve_batched_sorted(
+            bp32, theta32, X0.astype(jnp.float32), options, chunk=sort_chunk
+        )
+    else:
+        X32, _, _ = solve_batched_chunked(
+            bp32, theta32, X0.astype(jnp.float32), options, chunk=chunk
+        )
     return refine_f64(bp, theta, X32, options, device=refine_device, chunk=chunk)
