@@ -16,6 +16,7 @@ plus the `ops` (constraint algebra), `solver`, `batch`, `dist`, `kernels`,
 component inventory.
 """
 
+from . import batch, dist, harness, kernels, ops, problems, solver
 from .ops.al import AlHessian, evaluate_al, first_derivatives, hv, new_point, second_derivatives, vhv
 from .ops.constraints import ActiveSet, Polyhedron, is_feasible
 from .ops.polyproject import projection_polyhedron

@@ -153,7 +153,7 @@ def projection_polyhedron(
             new_hi = grid[jnp.minimum(idx + 1, K_SEC - 1)]
             return (new_lo, jnp.where(new_hi > new_lo, new_hi, hi))
 
-        t_lo, t_hi = lax.fori_loop(0, n_section, section, (t_lo, t_hi))
+        t_lo, t_hi = lax.fori_loop(0, n_section, section, (t_lo, t_hi), unroll=True)
         t_star = 0.5 * (t_lo + t_hi)
         # Monotone safeguard (roundoff): never accept a dual decrease.
         lam_new = jnp.where(q_of(lam + t_star * dlam) >= q_of(lam), lam + t_star * dlam, lam)

@@ -26,6 +26,7 @@ from jax import lax
 from ..ops.al import AlHessian, hv, vhv
 from ..ops.constraints import ActiveSet, Polyhedron, nb_fix
 from ..ops.project import project_tangent
+from .loops import run_bounded
 from .status import CG_BOUND_HIT, CG_MAX_ITER, CG_NEGATIVE_CURVATURE, CG_RUNNING, CG_SOLVED
 
 Array = jax.Array
@@ -204,5 +205,7 @@ def projected_cg(
             jnp.where(max_iter >= 1, CG_RUNNING, CG_MAX_ITER),
         ),
     )
-    out = lax.while_loop(cond, body, c0)
+    # Static trip bound 2(n - m) ≥ the dynamic cap 2(n - m - #fix) (ref :714);
+    # small problems run the CG fully unrolled with masked lanes.
+    out = run_bounded(cond, body, c0, max_trips=2 * (n - m))
     return out.w, out.status

@@ -30,6 +30,7 @@ from ..ops.constraints import (
 )
 from ..ops.project import norm_reduced_gradient, project_tangent
 from .cg import linesearch, projected_cg
+from .loops import run_bounded
 from .status import CG_NEGATIVE_CURVATURE
 
 Array = jax.Array
@@ -157,7 +158,9 @@ def cauchy_step(
         chol = jnp.where(advance, aset.chol, c.chol)
         return _CauchyCarry(s, fixed, chol, d, Hd, phi_p, phi_pp, at_min | interior_min)
 
-    out = lax.while_loop(cond, body, c0)
+    # Trip bound: one bound fixed per segment, at most n - m segments
+    # (ref :615); tiny for the batched-small regime -> unrolled masked loop.
+    out = run_bounded(cond, body, c0, max_trips=n - m)
     return out.s, ActiveSet(fixed=out.fixed, chol=out.chol)
 
 
@@ -284,6 +287,6 @@ def inner_step(
             cg_stop=cg_stop,
         )
 
-    out = lax.while_loop(cond, body, c0)
+    out = run_bounded(cond, body, c0, max_trips=min(max_minor_iter, n - m))
     pred = jnp.vdot(g, out.s) + 0.5 * vhv(H, out.s)  # ref :458
     return out.s, pred, ActiveSet(fixed=out.fixed, chol=out.chol)

@@ -18,3 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Masked-unrolled inner loops triple CPU compile times without exercising
+# anything the while_loop strategy doesn't; tests default to while_loops.
+# tests/test_loops.py covers strategy parity explicitly.
+import benlsip_tpu.solver.loops as _loops  # noqa: E402
+
+_loops.UNROLL_LIMIT = 0
