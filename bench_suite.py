@@ -1,0 +1,206 @@
+"""Full BASELINE config suite: measured numbers for all five configurations.
+
+Writes one JSONL row per config to --out (default bench_results.jsonl) via
+the metrics harness, and prints a summary table.  Sizes default to values
+that complete in minutes through the tunnel-attached single chip; --full
+scales config 5 to the pod-sweep size (use on real pod slices).
+
+  1. single small problem (bounded Rosenbrock NLS + sphere regression)
+  2. 1k batched small instances (curve fits, box+linear constraints)
+  3. medium dense (n=192, d=1024) with active bounds at the solution
+  4. large single instance, blocked-Jacobian mode
+  5. large sweep, chunked (+ mixed-precision to f64 KKT grade)
+
+Run `python bench_suite.py --device cpu` for a hardware-independent check.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/benlsip_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, out
+
+
+def config1(results):
+    from benlsip_tpu import SolverOptions, solve
+    from benlsip_tpu.problems import rosenbrock, sphere_regression as sr
+
+    opts = SolverOptions(max_outer_iter=100, max_inner_iter=250)
+    for name, problem, x0 in [
+        ("rosenbrock_bounded", rosenbrock.make_problem(dtype=jnp.float64), rosenbrock.x0()),
+        ("sphere_regression", sr.make_problem(), sr.x0()),
+    ]:
+        dt, (x, y, info) = _bench(lambda p=problem, z=x0: solve(p, z, opts))
+        results.append(
+            {
+                "config": 1,
+                "case": name,
+                "wall_s": round(dt, 4),
+                "converged": bool(info.converged),
+                "outer": int(info.outer_iters),
+                "inner": int(info.inner_iters),
+                "pix": float(info.pix),
+            }
+        )
+
+
+def config2(results, B=1024):
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=42, dtype=jnp.float64)
+    dt, (X, Y, info) = _bench(lambda: solve_mixed_precision(bp, theta, X0, opts))
+    conv = int(jnp.sum(info.converged))
+    results.append(
+        {
+            "config": 2,
+            "case": f"exp_fit_B{B}",
+            "wall_s": round(dt, 4),
+            "problems_per_sec_kkt1e-8": round(conv / dt, 1),
+            "converged_frac": round(conv / B, 4),
+        }
+    )
+
+
+def config3(results, B=64, n=192, d=1024):
+    from benlsip_tpu.batch.vmap_solve import solve_batched
+    from benlsip_tpu.problems.generators import dense_quadratic_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
+    bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
+    dt, (X, Y, info) = _bench(lambda: solve_batched(bp, theta, X0, opts))
+    conv = int(jnp.sum(info.converged))
+    # Active-set share at the solutions (the path this config exercises).
+    act = float(jnp.mean((jnp.abs(jnp.abs(X) - 0.8) < 1e-6).astype(jnp.float64)))
+    results.append(
+        {
+            "config": 3,
+            "case": f"dense_n{n}_d{d}_B{B}",
+            "wall_s": round(dt, 4),
+            "problems_per_sec": round(conv / dt, 2),
+            "converged_frac": round(conv / B, 4),
+            "active_bound_frac": round(act, 3),
+        }
+    )
+
+
+def config4(results, n=4096, d=16384):
+    from benlsip_tpu import Problem
+    from benlsip_tpu.dist.mesh import make_mesh
+    from benlsip_tpu.dist.sharded import solve_large_blocked
+    from benlsip_tpu.solver.options import SolverOptions
+
+    ndev = len(jax.devices())
+    block = ndev  # all chips on the residual-block axis
+    rng = np.random.default_rng(1)
+    dtype = jnp.float32
+    J = jnp.asarray((rng.standard_normal((d, n)) / np.sqrt(d)).astype(np.float32))
+    x_true = rng.standard_normal(n).astype(np.float32)
+    y = J @ jnp.asarray(x_true) + 0.01 * jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    A = jnp.asarray((rng.standard_normal((8, n)) / np.sqrt(n)).astype(np.float32))
+    problem = Problem(
+        residuals=lambda x: J @ x - y,
+        jac_res=lambda x: J,
+        A=A,
+        b=A @ jnp.asarray(x_true),
+        xl=jnp.full(n, -3.0, dtype),
+        xu=jnp.full(n, 3.0, dtype),
+    )
+    mesh = make_mesh(batch=1, block=block)
+    opts = SolverOptions(max_outer_iter=8, max_inner_iter=40)
+    dt, (x, yl, info) = _bench(
+        lambda: solve_large_blocked(problem, jnp.zeros(n, dtype), opts, mesh)
+    )
+    results.append(
+        {
+            "config": 4,
+            "case": f"blocked_n{n}_d{d}_x{block}chips",
+            "wall_s": round(dt, 4),
+            "converged": bool(info.converged),
+            "outer": int(info.outer_iters),
+            "inner": int(info.inner_iters),
+            "sec_per_inner_iter": round(dt / max(int(info.inner_iters), 1), 4),
+        }
+    )
+
+
+def config5(results, B=16384, full=False):
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    if full:
+        B = 102400
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=7, dtype=jnp.float64)
+    dt, (X, Y, info) = _bench(lambda: solve_mixed_precision(bp, theta, X0, opts))
+    conv = int(jnp.sum(info.converged))
+    results.append(
+        {
+            "config": 5,
+            "case": f"sweep_B{B}",
+            "wall_s": round(dt, 4),
+            "problems_per_sec_kkt1e-8": round(conv / dt, 1),
+            "converged_frac": round(conv / B, 4),
+        }
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="bench_results.jsonl")
+    ap.add_argument("--device", default=None, help="'cpu' to force host")
+    ap.add_argument("--full", action="store_true", help="pod-scale config 5")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from benlsip_tpu.harness.metrics import MetricsWriter
+
+    wanted = {int(c) for c in args.configs.split(",")}
+    results = []
+    t0 = time.time()
+    if 1 in wanted:
+        config1(results)
+    if 2 in wanted:
+        config2(results)
+    if 3 in wanted:
+        config3(results)
+    if 4 in wanted:
+        config4(results)
+    if 5 in wanted:
+        config5(results, full=args.full)
+
+    w = MetricsWriter(args.out)
+    for r in results:
+        r["device"] = str(jax.devices()[0])
+        w.write(r)
+        print(json.dumps(r))
+    w.close()
+    print(f"# suite wall {time.time()-t0:.0f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -200,6 +200,75 @@ def minor_iterate(
     return w, cg_status
 
 
+def cauchy_step_projected(
+    x: Array,
+    g: Array,
+    H: AlHessian,
+    poly: Polyhedron,
+    delta: Array,
+    atol: float,
+    kappa1: float = 1e-2,
+    gamma_c: float = 10.0,
+    max_trials: int = 16,
+    chol_reg: float = 0.0,
+) -> Tuple[Array, ActiveSet]:
+    """Projected-search Cauchy step: backtracking along s(t) = P(x-t·g) - x.
+
+    Rebuild of the reference's legacy 11-arg `cauchy_step`
+    (ref `src/basic_tralcnlss.jl:462-527`): trial steps are exact
+    projections onto {Av = 0, max(xl-x,-delta) ≤ s ≤ min(xu-x,delta)},
+    accepted at the first t with q(s) ≤ kappa1·gᵀs (sufficient decrease,
+    ref :488), shrinking t by gamma_c otherwise.  The reference abandoned
+    this variant because each trial cost an Ipopt solve; with the jittable
+    dual-Newton projection a trial is a handful of m×m solves, and —
+    unlike the live breakpoint walk, which fixes ONE bound per sequential
+    segment (ref :615-637) — a single projection activates any number of
+    bounds at once.  This is the scalable path for instances with large
+    active sets (BASELINE config 3); `inner_step` picks it when n is large.
+
+    Returns (s_c, active_set_at(x+s_c)) like the breakpoint variant.
+    """
+    from ..ops.polyproject import projection_polyhedron
+
+    dtype = x.dtype
+    d_l = jnp.maximum(poly.xl - x, -delta)
+    d_u = jnp.minimum(poly.xu - x, delta)
+    seg = Polyhedron(A=poly.A, b=jnp.zeros_like(poly.b), xl=d_l, xu=d_u)
+
+    # Initial scale: the unconstrained exact-linesearch step along -g.
+    gHg = vhv(H, g)
+    gg = jnp.vdot(g, g)
+    t0 = jnp.where(gHg > 0, gg / jnp.where(gHg > 0, gHg, 1.0), 1.0)
+
+    def trial(t):
+        s = projection_polyhedron(seg, -t * g)
+        gts = jnp.vdot(g, s)
+        qs = 0.5 * vhv(H, s) + gts
+        ok = qs <= kappa1 * gts  # sufficient decrease (ref :488)
+        return s, ok
+
+    def cond(c):
+        t, s, ok, k = c
+        return (~ok) & (k < max_trials)
+
+    def body(c):
+        t, s_prev, ok_prev, k = c
+        s, ok = trial(t)
+        return (t / gamma_c, s, ok, k + 1)
+
+    s0, ok0 = trial(t0)
+    t, s, ok, k = lax.while_loop(cond, body, (t0 / gamma_c, s0, ok0, jnp.asarray(1, jnp.int32)))
+    # If no trial satisfied the decrease test (flat model), fall back to the
+    # last (smallest) projected step — still feasible and descent-directed.
+    fixed = step_active_bounds(poly, x, s, delta, atol)
+    return s, make_active_set(poly, fixed, reg=chol_reg)
+
+
+# Problem size above which the projected-search Cauchy replaces the
+# one-bound-per-segment breakpoint walk.
+PROJECTED_CAUCHY_THRESHOLD = 32
+
+
 class _MinorCarry(NamedTuple):
     s: Array
     g_minor: Array
@@ -232,7 +301,10 @@ def inner_step(
     n = x.shape[0]
     m = poly.A.shape[0]
 
-    s0, aset0 = cauchy_step(x, g, H, poly, delta, atol, chol_reg)
+    if n - m > PROJECTED_CAUCHY_THRESHOLD:
+        s0, aset0 = cauchy_step_projected(x, g, H, poly, delta, atol, chol_reg=chol_reg)
+    else:
+        s0, aset0 = cauchy_step(x, g, H, poly, delta, atol, chol_reg)
     g_minor0 = hv(H, s0) + g
 
     nrg0 = norm_reduced_gradient(poly, aset0, g)
