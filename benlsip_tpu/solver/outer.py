@@ -54,6 +54,7 @@ class SolveInfo(NamedTuple):
     pix: Array            # final criticality measure pi(x)
     feas: Array           # final ‖c(x)‖
     mu: Array             # final penalty parameter
+    objective: Array      # final 1/2 ‖r(x)‖² (the printed objective, ref :292)
 
 
 class OuterCarry(NamedTuple):
@@ -179,8 +180,11 @@ def outer_body(fns, poly: Polyhedron, opts: SolverOptions, atol: float, c: Outer
     )
 
 
-def carry_info(out: OuterCarry, opts: SolverOptions) -> SolveInfo:
+def carry_info(out: OuterCarry, opts: SolverOptions, objective=None) -> SolveInfo:
+    if objective is None:
+        objective = jnp.asarray(jnp.nan, out.x.dtype)
     return SolveInfo(
+        objective=objective,
         converged=out.critical,
         status=jnp.where(
             out.critical,
@@ -220,4 +224,5 @@ def solve_fixed_point(
     # (ref :276-283), returning a y that is one first-order update stale —
     # the converged estimate is the y_bar = y + mu·c its own gradient used.
     y_final = jnp.where(out.critical, out.y + out.mu * out.cx, out.y)
-    return out.x, y_final, carry_info(out, opts)
+    rx = fns.residuals(out.x)
+    return out.x, y_final, carry_info(out, opts, objective=0.5 * jnp.vdot(rx, rx))
