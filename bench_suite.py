@@ -105,9 +105,9 @@ def config3(results, B=64, n=192, d=1024):
 
 
 def config4(results, n=4096, d=16384):
-    from benlsip_tpu import Problem
+    from benlsip_tpu.batch.vmap_solve import BatchedProblem
     from benlsip_tpu.dist.mesh import make_mesh
-    from benlsip_tpu.dist.sharded import solve_large_blocked
+    from benlsip_tpu.dist.sharded import solve_large_blocked_family
     from benlsip_tpu.solver.options import SolverOptions
 
     ndev = len(jax.devices())
@@ -118,9 +118,10 @@ def config4(results, n=4096, d=16384):
     x_true = rng.standard_normal(n).astype(np.float32)
     y = J @ jnp.asarray(x_true) + 0.01 * jnp.asarray(rng.standard_normal(d).astype(np.float32))
     A = jnp.asarray((rng.standard_normal((8, n)) / np.sqrt(n)).astype(np.float32))
-    problem = Problem(
-        residuals=lambda x: J @ x - y,
-        jac_res=lambda x: J,
+    theta = {"J": J, "y": y}
+    bp = BatchedProblem(
+        residuals=lambda x, th: th["J"] @ x - th["y"],
+        jac_res=lambda x, th: th["J"],
         A=A,
         b=A @ jnp.asarray(x_true),
         xl=jnp.full(n, -3.0, dtype),
@@ -129,7 +130,7 @@ def config4(results, n=4096, d=16384):
     mesh = make_mesh(batch=1, block=block)
     opts = SolverOptions(max_outer_iter=8, max_inner_iter=40)
     dt, (x, yl, info) = _bench(
-        lambda: solve_large_blocked(problem, jnp.zeros(n, dtype), opts, mesh)
+        lambda: solve_large_blocked_family(bp, theta, jnp.zeros(n, dtype), opts, mesh)
     )
     results.append(
         {
@@ -180,24 +181,22 @@ def main():
     from benlsip_tpu.harness.metrics import MetricsWriter
 
     wanted = {int(c) for c in args.configs.split(",")}
-    results = []
-    t0 = time.time()
-    if 1 in wanted:
-        config1(results)
-    if 2 in wanted:
-        config2(results)
-    if 3 in wanted:
-        config3(results)
-    if 4 in wanted:
-        config4(results)
-    if 5 in wanted:
-        config5(results, full=args.full)
-
     w = MetricsWriter(args.out)
-    for r in results:
-        r["device"] = str(jax.devices()[0])
-        w.write(r)
-        print(json.dumps(r))
+    t0 = time.time()
+    runners = {1: config1, 2: config2, 3: config3, 4: config4}
+    for c in sorted(wanted):
+        results = []
+        try:
+            if c == 5:
+                config5(results, full=args.full)
+            else:
+                runners[c](results)
+        except Exception as e:  # keep the suite going; record the failure
+            results.append({"config": c, "error": repr(e)[:300]})
+        for r in results:
+            r["device"] = str(jax.devices()[0])
+            w.write(r)
+            print(json.dumps(r), flush=True)
     w.close()
     print(f"# suite wall {time.time()-t0:.0f}s -> {args.out}")
 

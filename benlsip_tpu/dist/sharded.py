@@ -86,6 +86,10 @@ def solve_large_blocked(
 ) -> Tuple[Array, Array, SolveInfo]:
     """Solve one large instance with the residual/Jacobian row-sharded
     (BASELINE config 4).  d should be divisible by mesh['block'].
+
+    Note: arrays closed over by the problem callables become program
+    literals; for data at HBM scale use `solve_large_blocked_family`, which
+    threads the data through as traced (sharded) arguments.
     """
     x0 = jnp.asarray(x0)
     fns, poly = problem.build(x0.shape[0], x0.dtype)
@@ -93,3 +97,40 @@ def solve_large_blocked(
 
     run = jax.jit(lambda p, x: solve_fixed_point(fns, p, x, options))
     return run(poly, x0)
+
+
+def solve_large_blocked_family(
+    bp,
+    theta,
+    x0: Array,
+    options: SolverOptions,
+    mesh: Mesh,
+) -> Tuple[Array, Array, SolveInfo]:
+    """Config-4 path with instance data as traced arguments.
+
+    `bp` is a BatchedProblem-style family (callables take (x, theta));
+    theta holds the large per-instance data (e.g. the Jacobian blocks and
+    targets) and is placed row-sharded over 'block' before the call, so the
+    compile payload contains no data literals (a closure-captured n≈10k
+    Jacobian overflows the remote-compile transport) and the data lives
+    sharded in HBM.
+    """
+    x0 = jnp.asarray(x0)
+    n = x0.shape[0]
+    poly = bp.polyhedron(n, x0.dtype)
+    # Row-shard every theta leaf whose leading axis matches the residual
+    # dimension structure (leaves with a d-divisible leading axis).
+    block = mesh.shape["block"]
+
+    def place(a):
+        if a.ndim >= 1 and a.shape[0] % block == 0:
+            return jax.device_put(a, NamedSharding(mesh, P("block", *([None] * (a.ndim - 1)))))
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    theta = jax.tree.map(place, theta)
+
+    def run(poly_, x0_, theta_):
+        fns = blocked_jacobian_fns(bp.instance_fns(theta_), mesh)
+        return solve_fixed_point(fns, poly_, x0_, options)
+
+    return jax.jit(run)(poly, x0, theta)

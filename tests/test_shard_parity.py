@@ -89,3 +89,20 @@ def test_tp_blocked_jacobian_matches_single_device():
     # bitwise.
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), rtol=1e-8, atol=1e-10)
     assert bool(i_sh.converged) == bool(i_ref.converged)
+
+    # The data-as-arguments family path (no program literals; the transport
+    # rejects closure-captured HBM-scale Jacobians) must agree too.
+    from benlsip_tpu.batch.vmap_solve import BatchedProblem
+    from benlsip_tpu.dist.sharded import solve_large_blocked_family
+
+    bp = BatchedProblem(
+        residuals=lambda x, th: th["J"] @ x - th["y"],
+        jac_res=lambda x, th: th["J"],
+        A=A,
+        b=b,
+        xl=jnp.full(n, -2.0),
+        xu=jnp.full(n, 2.0),
+    )
+    x_f, y_f, i_f = solve_large_blocked_family(bp, {"J": J, "y": y}, x0, opts, mesh)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), rtol=1e-8, atol=1e-10)
+    assert bool(i_f.converged) == bool(i_ref.converged)
