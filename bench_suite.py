@@ -43,11 +43,15 @@ def config1(results):
     from benlsip_tpu.problems import rosenbrock, sphere_regression as sr
 
     opts = SolverOptions(max_outer_iter=100, max_inner_iter=250)
+    # f64 single-instance parity solves run on host: the axon TPU runtime
+    # faults/hangs on the f64-emulated full solver program (BENCH_NOTES.md).
+    cpu = jax.devices("cpu")[0]
     for name, problem, x0 in [
         ("rosenbrock_bounded", rosenbrock.make_problem(dtype=jnp.float64), rosenbrock.x0()),
         ("sphere_regression", sr.make_problem(), sr.x0()),
     ]:
-        dt, (x, y, info) = _bench(lambda p=problem, z=x0: solve(p, z, opts))
+        with jax.default_device(cpu):
+            dt, (x, y, info) = _bench(lambda p=problem, z=x0: solve(p, z, opts))
         results.append(
             {
                 "config": 1,
@@ -87,8 +91,11 @@ def config3(results, B=64, n=192, d=1024):
     from benlsip_tpu.solver.options import SolverOptions
 
     opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
+    # f64 batched solve -> host (see config1 note); the f32 TPU story for
+    # this config is exercised through configs 2/5's bulk phase.
     bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
-    dt, (X, Y, info) = _bench(lambda: solve_batched(bp, theta, X0, opts))
+    with jax.default_device(jax.devices("cpu")[0]):
+        dt, (X, Y, info) = _bench(lambda: solve_batched(bp, theta, X0, opts))
     conv = int(jnp.sum(info.converged))
     # Active-set share at the solutions (the path this config exercises).
     act = float(jnp.mean((jnp.abs(jnp.abs(X) - 0.8) < 1e-6).astype(jnp.float64)))
