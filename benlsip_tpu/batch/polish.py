@@ -1,0 +1,245 @@
+"""Warm-start SQP polish: the fast path of the mixed-precision pipeline.
+
+`refine_f64` (batch/refine.py) restarts the full TRALCNLLS machinery —
+trust region, Cauchy breakpoints, projected CG, exact-projection
+criticality each iteration — to certify f32 bulk solutions at f64 KKT
+grade.  That machinery exists to make *global* progress; a warm start
+doesn't need it.  At the f32 solution the active set is identified and the
+point is within ~sqrt(eps(f32)) of the optimum, so a handful of
+fixed-active-set Gauss-Newton SQP steps converge to the f64 KKT region:
+
+    min_dx ½‖J dx + r‖²  s.t.  C dx + c = 0,  A dx = (b - Ax),  dx_i = 0 (i fixed)
+
+solved as one dense (n+p+m) KKT system per step (tiny for the batched-small
+regime; vmapped over instances so it's one batched solve on the MXU/VPU).
+Fixed variables are eliminated by masking: with Z = diag(free),
+
+    [ Z JᵀJ Z + diag(fixed) + reg·Z    (E Z)ᵀ ] [dx]   [ -Z Jᵀ r ]
+    [            E Z                    -δI    ] [nu] = [   -e    ]
+
+whose fixed rows read dx_i = 0 exactly, and whose stationarity rows at
+convergence (dx → 0) read Z(Jᵀr + Cᵀnu_c + Aᵀnu_a) = 0 — the KKT
+stationarity condition on the free variables, so nu_c IS the converged
+multiplier estimate y (compare `least_squares_multipliers`,
+ref `/root/reference/src/basic_tralcnlss.jl:887-903`, which ignores A and
+bounds).
+
+Each polished instance is *certified* with the same oracle the solver and
+the reference's tests use — exact-projection criticality
+‖P_Ω(x − ∇L) − x‖ (ref `test/problems/sphere_regression.jl:58-62`) plus
+‖c(x)‖ — and instances that fail certification (mis-identified active set,
+constraint degeneracy) fall back to the full `refine_f64` on a gathered
+sub-batch.  Wrong-active-set guesses therefore cost time, never accuracy.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.constraints import Polyhedron
+from ..solver.options import SolverOptions
+from ..solver.outer import SolveInfo
+from ..solver.status import SOLVE_CONVERGED, SOLVE_MAX_OUTER
+from .vmap_solve import BatchedProblem
+
+Array = jax.Array
+
+
+def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: float,
+                reg: float, dual_reg: float, crit_tol: float, feas_tol: float):
+    """Polish a single instance (vmapped by the callers).
+
+    Returns (x, y, converged, pix, feas, objective).
+    """
+    dtype = x0.dtype
+    n = x0.shape[0]
+    A, b = poly.A, poly.b
+    m = A.shape[0]
+    p = fns.nlconstraints(x0).shape[0]
+
+    # Active set identified from the f32 point: bounds within active_tol
+    # (relative), then snapped exactly onto the bound.  The f32 solver's own
+    # projections place truly-active variables ON the bound, so the
+    # tolerance only needs to absorb f32 rounding of near-bound iterates.
+    scale = 1.0 + jnp.abs(x0)
+    at_lo = jnp.isfinite(poly.xl) & ((x0 - poly.xl) <= active_tol * scale)
+    at_hi = jnp.isfinite(poly.xu) & ((poly.xu - x0) <= active_tol * scale)
+    fixed = at_lo | at_hi
+    free = (~fixed).astype(dtype)
+    x_start = jnp.where(at_lo, poly.xl, jnp.where(at_hi, poly.xu, x0))
+
+    def step(_, carry):
+        x, _y = carry
+        r = fns.residuals(x)
+        J = fns.jac_res(x)
+        c = fns.nlconstraints(x)
+        C = fns.jac_nlcons(x)
+        E = jnp.concatenate([C, A], axis=0)            # (p+m, n)
+        e = jnp.concatenate([c, A @ x - b], axis=0)    # (p+m,)
+        EZ = E * free[None, :]
+        JZ = J * free[None, :]
+        H = JZ.T @ JZ + jnp.diag(fixed.astype(dtype)) + reg * jnp.diag(free)
+        k = n + p + m
+        K = jnp.zeros((k, k), dtype)
+        K = K.at[:n, :n].set(H)
+        K = K.at[:n, n:].set(EZ.T)
+        K = K.at[n:, :n].set(EZ)
+        K = K.at[n:, n:].set(-dual_reg * jnp.eye(p + m, dtype=dtype))
+        rhs = jnp.concatenate([-(free * (J.T @ r)), -e])
+        sol = jnp.linalg.solve(K, rhs)
+        dx = sol[:n] * free
+        x_new = jnp.clip(x + dx, poly.xl, poly.xu)
+        return x_new, sol[n : n + p]
+
+    y0 = jnp.zeros((p,), dtype)
+    x, y = lax.fori_loop(0, num_steps, step, (x_start, y0))
+
+    # Certification with the solver's own oracle (exact polyhedral
+    # projection of x − ∇L; see solver/subproblem.py criticality_measure).
+    r = fns.residuals(x)
+    c = fns.nlconstraints(x)
+    gL = fns.jac_res(x).T @ r + fns.jac_nlcons(x).T @ y
+    from ..ops.polyproject import projection_polyhedron
+
+    pix = jnp.linalg.norm(projection_polyhedron(poly, x - gL) - x)
+    feas = jnp.sqrt(jnp.sum(c * c) + jnp.sum((A @ x - b) ** 2))
+    converged = (pix <= crit_tol) & (feas <= feas_tol)
+    return x, y, converged, pix, feas, 0.5 * jnp.vdot(r, r)
+
+
+@functools.lru_cache(maxsize=128)
+def _polish_runner(fns_key, poly_axes_key, num_steps, active_tol, reg, dual_reg,
+                   crit_tol, feas_tol):
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+
+    def one(theta_i, x0_i, poly_i):
+        bp_i = BatchedProblem(
+            residuals=residuals,
+            nlconstraints=nlconstraints,
+            jac_res=jac_res,
+            jac_nlcons=jac_nlcons,
+        )
+        fns = bp_i.instance_fns(theta_i)
+        return _polish_one(fns, poly_i, x0_i, num_steps, active_tol, reg,
+                           dual_reg, crit_tol, feas_tol)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, Polyhedron(*poly_axes_key))))
+
+
+def sqp_polish(
+    bp: BatchedProblem,
+    theta,
+    X0: Array,
+    options: SolverOptions = SolverOptions(),
+    num_steps: int = 3,
+    active_tol: float = 1e-4,
+    reg: float = 0.0,
+    dual_reg: float = 1e-14,
+):
+    """Batched fixed-active-set SQP polish of warm starts X0.
+
+    Returns (X, Y, converged, pix, feas, objective), all with leading batch
+    axis.  `converged` is the per-instance certification mask.
+    """
+    n = X0.shape[-1]
+    dtype = X0.dtype
+    opts = options.resolve_tols(jnp.dtype(dtype))
+    poly = bp.polyhedron(n, dtype)
+    base = Polyhedron(A=2, b=1, xl=1, xu=1)
+    poly_axes = tuple(
+        0 if getattr(poly, f).ndim > getattr(base, f) else None for f in Polyhedron._fields
+    )
+    fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+    run = _polish_runner(fns_key, poly_axes, num_steps, active_tol, reg, dual_reg,
+                         float(opts.crit_tol), float(opts.feas_tol))
+    return run(theta, X0, poly)
+
+
+def polish_then_refine(
+    bp: BatchedProblem,
+    theta,
+    X32: Array,
+    options: SolverOptions = SolverOptions(),
+    num_steps: int = 3,
+    active_tol: float = 1e-4,
+    fallback_pad: int = 64,
+    chunk: int = 512,
+    device: Optional[object] = "cpu",
+) -> Tuple[Array, Array, SolveInfo]:
+    """f64 certification phase: SQP polish + full-refine fallback.
+
+    Polishes every instance (cheap); instances whose certification fails
+    are gathered host-side, padded to a multiple of `fallback_pad` (bounding
+    compile-cache churn across shapes), and re-solved through the full
+    `refine_f64` path, then scattered back.  Returns f64 (X, Y, SolveInfo).
+    """
+    from .refine import refine_f64
+
+    if device == "cpu":
+        dev = jax.devices("cpu")[0]
+        put = lambda t: jax.tree.map(lambda a: jax.device_put(a, dev), t)
+    else:
+        put = lambda t: t
+
+    theta64 = put(jax.tree.map(
+        lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        theta,
+    ))
+    bp64 = dataclasses.replace(
+        bp,
+        A=None if bp.A is None else put(bp.A.astype(jnp.float64)),
+        b=None if bp.b is None else put(bp.b.astype(jnp.float64)),
+        xl=None if bp.xl is None else put(bp.xl.astype(jnp.float64)),
+        xu=None if bp.xu is None else put(bp.xu.astype(jnp.float64)),
+    )
+    X64 = put(X32.astype(jnp.float64))
+
+    X, Y, ok, pix, feas, obj = sqp_polish(
+        bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol
+    )
+    ok_h = np.asarray(ok)
+    B = X.shape[0]
+    opts = options.resolve_tols(jnp.dtype(jnp.float64))
+    info = SolveInfo(
+        converged=ok,
+        status=jnp.where(ok, SOLVE_CONVERGED, SOLVE_MAX_OUTER),
+        outer_iters=jnp.zeros((B,), jnp.int32),
+        inner_iters=jnp.full((B,), num_steps, jnp.int32),
+        pix=pix,
+        feas=feas,
+        mu=jnp.full((B,), opts.mu0, X.dtype),
+        objective=obj,
+    )
+    if ok_h.all():
+        return X, Y, info
+
+    # Fallback: full f64 refine on the uncertified instances, warm-started
+    # from the polished points (strictly better than X32).
+    idx = np.nonzero(~ok_h)[0]
+    k = len(idx)
+    pad = (-k) % min(fallback_pad, B)
+    idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
+    take = lambda a: a[idx_p]
+    theta_f = jax.tree.map(take, theta64)
+    base = Polyhedron(A=2, b=1, xl=1, xu=1)._asdict()
+    upd = {
+        f: take(getattr(bp64, f))
+        for f in ("A", "b", "xl", "xu")
+        if getattr(bp64, f) is not None and getattr(bp64, f).ndim > base[f]
+    }
+    bp_f = dataclasses.replace(bp64, **upd) if upd else bp64
+    Xf, Yf, inf_f = refine_f64(bp_f, theta_f, X[idx_p], options, device=device, chunk=chunk)
+
+    sel = jnp.asarray(idx)
+    X = X.at[sel].set(Xf[:k])
+    Y = Y.at[sel].set(Yf[:k])
+    info = SolveInfo(*[
+        getattr(info, f).at[sel].set(getattr(inf_f, f)[:k]) for f in SolveInfo._fields
+    ])
+    return X, Y, info

@@ -96,8 +96,15 @@ def solve_mixed_precision(
     refine_device: Optional[jax.Device] = "cpu",
     sort_by_difficulty: bool = False,
     sort_chunk: int = 128,
+    polish: bool = True,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
+
+    With `polish=True` (default) the f64 phase is the warm-start SQP polish
+    (batch/polish.py): fixed-active-set Gauss-Newton KKT steps, ~20x cheaper
+    than restarting the full solver, with exact-projection certification and
+    automatic fallback to the full refine for uncertified instances.
+    `polish=False` forces the full-TRALCNLLS refine for every instance.
 
     sort_by_difficulty runs the bulk phase in pilot-ranked chunks
     (batch.buckets.solve_batched_sorted): each lockstep chunk waits only
@@ -120,5 +127,11 @@ def solve_mixed_precision(
     else:
         X32, _, _ = solve_batched_chunked(
             bp32, theta32, X0.astype(jnp.float32), options, chunk=chunk
+        )
+    if polish:
+        from .polish import polish_then_refine
+
+        return polish_then_refine(
+            bp, theta, X32, options, chunk=chunk, device=refine_device
         )
     return refine_f64(bp, theta, X32, options, device=refine_device, chunk=chunk)

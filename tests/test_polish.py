@@ -1,0 +1,118 @@
+"""Warm-start SQP polish (batch/polish.py): certification soundness,
+agreement with the full f64 refine, and the fallback path for bad warm
+starts.  The polish replaces the full-TRALCNLLS f64 refine as the default
+certification phase of the mixed-precision pipeline."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from benlsip_tpu.batch.polish import polish_then_refine, sqp_polish
+from benlsip_tpu.batch.refine import refine_f64, solve_mixed_precision
+from benlsip_tpu.batch.vmap_solve import solve_batched
+from benlsip_tpu.problems.generators import exp_fit_family, sphere_family
+from benlsip_tpu.solver.options import SolverOptions
+
+from test_refine import kkt_measures
+
+
+def _bulk_f32(bp, theta, X0, opts):
+    bp32 = dataclasses.replace(
+        bp,
+        A=None if bp.A is None else bp.A.astype(jnp.float32),
+        b=None if bp.b is None else bp.b.astype(jnp.float32),
+        xl=None if bp.xl is None else bp.xl.astype(jnp.float32),
+        xu=None if bp.xu is None else bp.xu.astype(jnp.float32),
+    )
+    th32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        theta,
+    )
+    X32, _, _ = solve_batched(bp32, th32, X0.astype(jnp.float32), opts)
+    return X32
+
+
+def test_polish_certifies_f64_kkt():
+    B = 32
+    bp, theta, X0 = exp_fit_family(B, d=16, seed=7, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X32 = _bulk_f32(bp, theta, X0, opts)
+    X, Y, info = polish_then_refine(bp, theta, X32, opts)
+    assert X.dtype == jnp.float64
+    assert bool(jnp.all(info.converged))
+    # The certification is the exact-projection KKT oracle: re-check it
+    # independently, plus feasibility of every constraint block.
+    kkt = np.asarray(kkt_measures(bp, theta, X, Y))
+    assert np.all(kkt < 1.5e-8), kkt.max()
+    poly = bp.polyhedron(X.shape[-1], jnp.float64)
+    assert np.all(np.asarray(X) >= np.asarray(poly.xl) - 1e-12)
+    assert np.all(np.asarray(X) <= np.asarray(poly.xu) + 1e-12)
+
+
+def test_polish_matches_full_refine():
+    B = 16
+    bp, theta, X0 = sphere_family(B, seed=3)
+    opts = SolverOptions(max_outer_iter=100, max_inner_iter=300)
+    X32 = _bulk_f32(bp, theta, X0, opts)
+    Xp, Yp, ip = polish_then_refine(bp, theta, X32, opts)
+    Xr, Yr, ir = refine_f64(bp, theta, X32, opts)
+    ok = np.asarray(ip.converged) & np.asarray(ir.converged)
+    assert ok.mean() >= 0.9
+    # Both certify KKT ≤ 1.5e-8; the solutions agree to the x-space
+    # resolution that tolerance implies.
+    assert np.max(np.abs(np.asarray(Xp - Xr))[ok]) < 1e-5
+
+
+def test_polish_fallback_on_cold_start():
+    # A cold start defeats the fixed-active-set Newton polish; the
+    # certification must catch it and the fallback (full refine) must still
+    # deliver converged f64 results.
+    B = 8
+    bp, theta, X0 = exp_fit_family(B, d=16, seed=11, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=60, max_inner_iter=200)
+    X_cold = X0 + 0.5  # far from any solution
+    X, Y, info = polish_then_refine(
+        bp, theta, X_cold.astype(jnp.float32), opts, fallback_pad=4
+    )
+    conv = float(jnp.mean(info.converged.astype(jnp.float64)))
+    assert conv >= 0.9
+    kkt = np.asarray(kkt_measures(bp, theta, X, Y))
+    ok = np.asarray(info.converged)
+    assert np.all(kkt[ok] < 1.5e-8)
+
+
+def test_mixed_precision_polish_default():
+    # solve_mixed_precision uses the polish path by default and still
+    # certifies every instance of the smooth family.
+    B = 16
+    bp, theta, X0 = exp_fit_family(B, d=16, seed=5, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=16)
+    assert bool(jnp.all(info.converged))
+    assert float(jnp.max(info.pix)) < 1.5e-8
+
+
+def test_sqp_polish_active_bounds():
+    # Instances whose solution sits ON a bound: the active-set
+    # identification must fix the right variables and the polished point
+    # must stay exactly on the bound.
+    B = 8
+    bp, theta, X0 = exp_fit_family(B, d=16, seed=19, dtype=jnp.float64)
+    # Tighten the upper bound below the unconstrained optimum of x_0.
+    opts = SolverOptions(max_outer_iter=60, max_inner_iter=200)
+    Xfree, _, _ = solve_batched(bp, theta, X0, opts)
+    xu = np.asarray(bp.xu).copy()
+    xu[0] = float(np.median(np.asarray(Xfree[:, 0]))) - 1e-3
+    bp2 = dataclasses.replace(bp, xu=jnp.asarray(xu))
+    X32 = _bulk_f32(bp2, theta, X0, opts)
+    X, Y, info = polish_then_refine(bp2, theta, X32, opts, fallback_pad=4)
+    conv = np.asarray(info.converged)
+    assert conv.mean() >= 0.9
+    at_bound = np.abs(np.asarray(X[:, 0]) - xu[0]) < 1e-12
+    # Converged instances whose free optimum exceeded the new bound sit
+    # exactly on it.
+    exceeded = np.asarray(Xfree[:, 0]) > xu[0]
+    assert np.all(at_bound[exceeded & conv])
+    kkt = np.asarray(kkt_measures(bp2, theta, X, Y))
+    assert np.all(kkt[conv] < 1.5e-8)
