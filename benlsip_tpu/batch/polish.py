@@ -181,24 +181,28 @@ def polish_then_refine(
     """
     from .refine import refine_f64
 
+    # Transfer FIRST, cast on the target device: casting first would run
+    # the f64 astype on the source device (the TPU, where f64 is emulated
+    # and the result doubles the bytes pulled through the host tunnel).
     if device == "cpu":
         dev = jax.devices("cpu")[0]
         put = lambda t: jax.tree.map(lambda a: jax.device_put(a, dev), t)
     else:
         put = lambda t: t
-
-    theta64 = put(jax.tree.map(
+    f64 = lambda t: jax.tree.map(
         lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        theta,
-    ))
+        t,
+    )
+
+    theta64 = f64(put(theta))
     bp64 = dataclasses.replace(
         bp,
-        A=None if bp.A is None else put(bp.A.astype(jnp.float64)),
-        b=None if bp.b is None else put(bp.b.astype(jnp.float64)),
-        xl=None if bp.xl is None else put(bp.xl.astype(jnp.float64)),
-        xu=None if bp.xu is None else put(bp.xu.astype(jnp.float64)),
+        A=None if bp.A is None else f64(put(bp.A)),
+        b=None if bp.b is None else f64(put(bp.b)),
+        xl=None if bp.xl is None else f64(put(bp.xl)),
+        xu=None if bp.xu is None else f64(put(bp.xu)),
     )
-    X64 = put(X32.astype(jnp.float64))
+    X64 = f64(put(X32))
 
     X, Y, ok, pix, feas, obj = sqp_polish(
         bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol

@@ -61,27 +61,23 @@ def refine_f64(
         # Warm start: x0 is essentially feasible already; keep projection on
         # (cheap) to clean up f32-level bound violations.
     )
+    if device == "cpu":
+        # Transfer FIRST, cast on host: casting first would run the f64
+        # astype on the source device (emulated and double-width on TPU).
+        dev = jax.devices("cpu")[0]
+        put = lambda a: jax.device_put(a, dev)
+    else:
+        put = lambda a: a
     bp64 = dataclasses.replace(
         bp,
-        A=None if bp.A is None else bp.A.astype(jnp.float64),
-        b=None if bp.b is None else bp.b.astype(jnp.float64),
-        xl=None if bp.xl is None else bp.xl.astype(jnp.float64),
-        xu=None if bp.xu is None else bp.xu.astype(jnp.float64),
+        A=None if bp.A is None else put(bp.A).astype(jnp.float64),
+        b=None if bp.b is None else put(bp.b).astype(jnp.float64),
+        xl=None if bp.xl is None else put(bp.xl).astype(jnp.float64),
+        xu=None if bp.xu is None else put(bp.xu).astype(jnp.float64),
     )
-    theta64 = _cast_tree(theta, jnp.float64)
-    X64 = X.astype(jnp.float64)
-
+    theta64 = _cast_tree(jax.tree.map(put, theta), jnp.float64)
+    X64 = put(X).astype(jnp.float64)
     if device == "cpu":
-        dev = jax.devices("cpu")[0]
-        theta64 = jax.device_put(theta64, dev)
-        X64 = jax.device_put(X64, dev)
-        bp64 = dataclasses.replace(
-            bp64,
-            A=None if bp64.A is None else jax.device_put(bp64.A, dev),
-            b=None if bp64.b is None else jax.device_put(bp64.b, dev),
-            xl=None if bp64.xl is None else jax.device_put(bp64.xl, dev),
-            xu=None if bp64.xu is None else jax.device_put(bp64.xu, dev),
-        )
         with jax.default_device(dev):
             return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
     return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
@@ -97,6 +93,8 @@ def solve_mixed_precision(
     sort_by_difficulty: bool = False,
     sort_chunk: int = 128,
     polish: bool = True,
+    polish_steps: int = 5,
+    bulk_crit_tol: Optional[float] = 1e-2,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
@@ -105,6 +103,14 @@ def solve_mixed_precision(
     than restarting the full solver, with exact-projection certification and
     automatic fallback to the full refine for uncertified instances.
     `polish=False` forces the full-TRALCNLLS refine for every instance.
+
+    `bulk_crit_tol` relaxes the f32 phase's criticality tolerance: the bulk
+    solve only needs to identify the active set and land in the Newton
+    basin of the polish, not grind to the f32 floor — measured ~2x off the
+    bulk wall at 1e-2 with `polish_steps=5` absorbing the looser start.
+    Pass None to run the bulk phase to the f32 floor (and with
+    polish=False, where the full refine restarts cold anyway, None is used
+    regardless).
 
     sort_by_difficulty runs the bulk phase in pilot-ranked chunks
     (batch.buckets.solve_batched_sorted): each lockstep chunk waits only
@@ -118,20 +124,24 @@ def solve_mixed_precision(
         xl=None if bp.xl is None else bp.xl.astype(jnp.float32),
         xu=None if bp.xu is None else bp.xu.astype(jnp.float32),
     )
+    bulk_opts = options
+    if polish and bulk_crit_tol is not None:
+        bulk_opts = dataclasses.replace(options, crit_tol=bulk_crit_tol)
     if sort_by_difficulty:
         from .buckets import solve_batched_sorted
 
         X32, _, _ = solve_batched_sorted(
-            bp32, theta32, X0.astype(jnp.float32), options, chunk=sort_chunk
+            bp32, theta32, X0.astype(jnp.float32), bulk_opts, chunk=sort_chunk
         )
     else:
         X32, _, _ = solve_batched_chunked(
-            bp32, theta32, X0.astype(jnp.float32), options, chunk=chunk
+            bp32, theta32, X0.astype(jnp.float32), bulk_opts, chunk=chunk
         )
     if polish:
         from .polish import polish_then_refine
 
         return polish_then_refine(
-            bp, theta, X32, options, chunk=chunk, device=refine_device
+            bp, theta, X32, options, num_steps=polish_steps, chunk=chunk,
+            device=refine_device,
         )
     return refine_f64(bp, theta, X32, options, device=refine_device, chunk=chunk)
