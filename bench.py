@@ -36,18 +36,21 @@ import jax.numpy as jnp
 
 
 def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
-    """Mixed-precision pipeline: f32 bulk on `device`, f64 refine on CPU."""
+    """Mixed-precision pipeline: f32 bulk on `device`, f64 refine on CPU.
+
+    Master f64 data stays host-resident (the production layout); the
+    pipeline ships the f32 working copy to the chip and pulls back only the
+    f32 solutions — that data movement is inside the timed region.
+    """
     from benlsip_tpu.batch.refine import solve_mixed_precision
 
-    theta_d = jax.device_put(theta, device)
-    X0_d = jax.device_put(X0, device)
     # Warmup (compile both phases)
     # No difficulty sorting here: the pilot run is a second compiled program
     # and TPU compiles through the tunnel are the bench's scarce resource.
-    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=chunk)
     jax.block_until_ready(X)
     t0 = time.perf_counter()
-    X, Y, info = solve_mixed_precision(bp, theta_d, X0_d, opts, chunk=chunk)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=chunk)
     jax.block_until_ready(X)
     dt = time.perf_counter() - t0
     conv = int(jnp.sum(info.converged))

@@ -171,79 +171,106 @@ def polish_then_refine(
     fallback_pad: int = 64,
     chunk: int = 512,
     device: Optional[object] = "cpu",
+    rounds: int = 2,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f64 certification phase: SQP polish + full-refine fallback.
 
     Polishes every instance (cheap); instances whose certification fails
-    are gathered host-side, padded to a multiple of `fallback_pad` (bounding
-    compile-cache churn across shapes), and re-solved through the full
-    `refine_f64` path, then scattered back.  Returns f64 (X, Y, SolveInfo).
+    get up to `rounds-1` further polish rounds (same compiled program, a
+    few ms each — GN simply hadn't contracted enough yet), and only then
+    are gathered host-side, padded to a multiple of `fallback_pad`
+    (bounding compile-cache churn across shapes), and re-solved through the
+    full `refine_f64` path, then scattered back.  Returns f64
+    (X, Y, SolveInfo).
     """
     from .refine import refine_f64
 
     # Transfer FIRST, cast on the target device: casting first would run
     # the f64 astype on the source device (the TPU, where f64 is emulated
     # and the result doubles the bytes pulled through the host tunnel).
+    # Everything below (including the tiny SolveInfo bookkeeping ops) runs
+    # under the target device context — with a TPU default device every
+    # uncommitted jnp op would cost a host↔device tunnel round trip, which
+    # measured ~10x the whole polish itself.
+    import contextlib
+
     if device == "cpu":
         dev = jax.devices("cpu")[0]
         put = lambda t: jax.tree.map(lambda a: jax.device_put(a, dev), t)
+        ctx = jax.default_device(dev)
     else:
         put = lambda t: t
+        ctx = contextlib.nullcontext()
     f64 = lambda t: jax.tree.map(
         lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype, jnp.floating) else a,
         t,
     )
 
-    theta64 = f64(put(theta))
-    bp64 = dataclasses.replace(
-        bp,
-        A=None if bp.A is None else f64(put(bp.A)),
-        b=None if bp.b is None else f64(put(bp.b)),
-        xl=None if bp.xl is None else f64(put(bp.xl)),
-        xu=None if bp.xu is None else f64(put(bp.xu)),
-    )
-    X64 = f64(put(X32))
+    with ctx:
+        theta64 = f64(put(theta))
+        bp64 = dataclasses.replace(
+            bp,
+            A=None if bp.A is None else f64(put(bp.A)),
+            b=None if bp.b is None else f64(put(bp.b)),
+            xl=None if bp.xl is None else f64(put(bp.xl)),
+            xu=None if bp.xu is None else f64(put(bp.xu)),
+        )
+        X64 = f64(put(X32))
 
-    X, Y, ok, pix, feas, obj = sqp_polish(
-        bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol
-    )
-    ok_h = np.asarray(ok)
-    B = X.shape[0]
-    opts = options.resolve_tols(jnp.dtype(jnp.float64))
-    info = SolveInfo(
-        converged=ok,
-        status=jnp.where(ok, SOLVE_CONVERGED, SOLVE_MAX_OUTER),
-        outer_iters=jnp.zeros((B,), jnp.int32),
-        inner_iters=jnp.full((B,), num_steps, jnp.int32),
-        pix=pix,
-        feas=feas,
-        mu=jnp.full((B,), opts.mu0, X.dtype),
-        objective=obj,
-    )
-    if ok_h.all():
+        X, Y, ok, pix, feas, obj = sqp_polish(
+            bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol
+        )
+        ok_h = np.asarray(ok)
+        for _ in range(rounds - 1):
+            if ok_h.all():
+                break
+            X2, Y2, ok2, pix2, feas2, obj2 = sqp_polish(
+                bp64, theta64, X, options, num_steps=num_steps, active_tol=active_tol
+            )
+            upd = ~ok & ok2
+            X = jnp.where(upd[:, None], X2, X)
+            Y = jnp.where(upd[:, None], Y2, Y) if Y.ndim == 2 else Y
+            pix = jnp.where(upd, pix2, pix)
+            feas = jnp.where(upd, feas2, feas)
+            obj = jnp.where(upd, obj2, obj)
+            ok = ok | ok2
+            ok_h = np.asarray(ok)
+        B = X.shape[0]
+        opts = options.resolve_tols(jnp.dtype(jnp.float64))
+        info = SolveInfo(
+            converged=ok,
+            status=jnp.where(ok, SOLVE_CONVERGED, SOLVE_MAX_OUTER),
+            outer_iters=jnp.zeros((B,), jnp.int32),
+            inner_iters=jnp.full((B,), num_steps, jnp.int32),
+            pix=pix,
+            feas=feas,
+            mu=jnp.full((B,), opts.mu0, X.dtype),
+            objective=obj,
+        )
+        if ok_h.all():
+            return X, Y, info
+
+        # Fallback: full f64 refine on the uncertified instances, warm-started
+        # from the polished points (strictly better than X32).
+        idx = np.nonzero(~ok_h)[0]
+        k = len(idx)
+        pad = (-k) % min(fallback_pad, B)
+        idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
+        take = lambda a: a[idx_p]
+        theta_f = jax.tree.map(take, theta64)
+        base = Polyhedron(A=2, b=1, xl=1, xu=1)._asdict()
+        upd = {
+            f: take(getattr(bp64, f))
+            for f in ("A", "b", "xl", "xu")
+            if getattr(bp64, f) is not None and getattr(bp64, f).ndim > base[f]
+        }
+        bp_f = dataclasses.replace(bp64, **upd) if upd else bp64
+        Xf, Yf, inf_f = refine_f64(bp_f, theta_f, X[idx_p], options, device=device, chunk=chunk)
+
+        sel = jnp.asarray(idx)
+        X = X.at[sel].set(Xf[:k])
+        Y = Y.at[sel].set(Yf[:k])
+        info = SolveInfo(*[
+            getattr(info, f).at[sel].set(getattr(inf_f, f)[:k]) for f in SolveInfo._fields
+        ])
         return X, Y, info
-
-    # Fallback: full f64 refine on the uncertified instances, warm-started
-    # from the polished points (strictly better than X32).
-    idx = np.nonzero(~ok_h)[0]
-    k = len(idx)
-    pad = (-k) % min(fallback_pad, B)
-    idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
-    take = lambda a: a[idx_p]
-    theta_f = jax.tree.map(take, theta64)
-    base = Polyhedron(A=2, b=1, xl=1, xu=1)._asdict()
-    upd = {
-        f: take(getattr(bp64, f))
-        for f in ("A", "b", "xl", "xu")
-        if getattr(bp64, f) is not None and getattr(bp64, f).ndim > base[f]
-    }
-    bp_f = dataclasses.replace(bp64, **upd) if upd else bp64
-    Xf, Yf, inf_f = refine_f64(bp_f, theta_f, X[idx_p], options, device=device, chunk=chunk)
-
-    sel = jnp.asarray(idx)
-    X = X.at[sel].set(Xf[:k])
-    Y = Y.at[sel].set(Yf[:k])
-    info = SolveInfo(*[
-        getattr(info, f).at[sel].set(getattr(inf_f, f)[:k]) for f in SolveInfo._fields
-    ])
-    return X, Y, info

@@ -116,14 +116,46 @@ def solve_mixed_precision(
     (batch.buckets.solve_batched_sorted): each lockstep chunk waits only
     for peers of similar cost.
     """
-    theta32 = _cast_tree(theta, jnp.float32)
-    bp32 = dataclasses.replace(
-        bp,
-        A=None if bp.A is None else bp.A.astype(jnp.float32),
-        b=None if bp.b is None else bp.b.astype(jnp.float32),
-        xl=None if bp.xl is None else bp.xl.astype(jnp.float32),
-        xu=None if bp.xu is None else bp.xu.astype(jnp.float32),
-    )
+    # Build the f32 working copy on HOST, then ship it to the bulk device in
+    # one explicit transfer.  Casting uncommitted f64 arrays directly would
+    # dispatch the astype to the default device — on TPU that means emulated
+    # f64 reads and double-width tunnel traffic; master f64 data belongs on
+    # host (where the f64 certification phase runs anyway).
+    cpu = jax.devices("cpu")[0]
+    bulk_dev = jax.devices()[0]
+    with jax.default_device(cpu):
+        put_h = lambda t: jax.tree.map(lambda a: jax.device_put(a, cpu), t)
+        theta_h = put_h(theta)       # host master copy, reused by the f64 phase
+        bp_h = dataclasses.replace(
+            bp,
+            A=None if bp.A is None else put_h(bp.A),
+            b=None if bp.b is None else put_h(bp.b),
+            xl=None if bp.xl is None else put_h(bp.xl),
+            xu=None if bp.xu is None else put_h(bp.xu),
+        )
+        theta32 = _cast_tree(theta_h, jnp.float32)
+        bp32 = dataclasses.replace(
+            bp_h,
+            A=None if bp_h.A is None else bp_h.A.astype(jnp.float32),
+            b=None if bp_h.b is None else bp_h.b.astype(jnp.float32),
+            xl=None if bp_h.xl is None else bp_h.xl.astype(jnp.float32),
+            xu=None if bp_h.xu is None else bp_h.xu.astype(jnp.float32),
+        )
+        X0_32 = put_h(X0).astype(jnp.float32)
+    if bulk_dev != cpu:
+        # One packed transfer for the whole f32 working set: per-leaf
+        # device_puts each pay the tunnel/DCN round-trip latency.
+        from ..harness.transfer import pack_device_put
+
+        poly_fields = {
+            f: getattr(bp32, f)
+            for f in ("A", "b", "xl", "xu")
+            if getattr(bp32, f) is not None
+        }
+        theta32, X0_32, poly_fields = pack_device_put(
+            (theta32, X0_32, poly_fields), bulk_dev
+        )
+        bp32 = dataclasses.replace(bp32, **poly_fields)
     bulk_opts = options
     if polish and bulk_crit_tol is not None:
         bulk_opts = dataclasses.replace(options, crit_tol=bulk_crit_tol)
@@ -131,17 +163,19 @@ def solve_mixed_precision(
         from .buckets import solve_batched_sorted
 
         X32, _, _ = solve_batched_sorted(
-            bp32, theta32, X0.astype(jnp.float32), bulk_opts, chunk=sort_chunk
+            bp32, theta32, X0_32, bulk_opts, chunk=sort_chunk
         )
     else:
-        X32, _, _ = solve_batched_chunked(
-            bp32, theta32, X0.astype(jnp.float32), bulk_opts, chunk=chunk
-        )
+        # NOTE: a chunk-pipelined variant (pull + polish chunk i while the
+        # device executes chunk i+1) was measured SLOWER here: the axon
+        # tunnel serializes the D2H pull behind queued executions, so there
+        # is no overlap to win — only extra per-chunk polish dispatches.
+        X32, _, _ = solve_batched_chunked(bp32, theta32, X0_32, bulk_opts, chunk=chunk)
     if polish:
         from .polish import polish_then_refine
 
         return polish_then_refine(
-            bp, theta, X32, options, num_steps=polish_steps, chunk=chunk,
+            bp_h, theta_h, X32, options, num_steps=polish_steps, chunk=chunk,
             device=refine_device,
         )
-    return refine_f64(bp, theta, X32, options, device=refine_device, chunk=chunk)
+    return refine_f64(bp_h, theta_h, X32, options, device=refine_device, chunk=chunk)
