@@ -127,6 +127,54 @@ def binding_bounds_at(poly: Polyhedron, x: Array, g: Array, atol) -> Array:
     return (at_lo & (d <= 0)) | (at_hi & (d >= 0))
 
 
+def binding_bounds_coupled(
+    poly: Polyhedron, x: Array, g: Array, atol, reg: float = 0.0, passes: int = 2
+) -> Array:
+    """Binding active bounds under Ax = b coupling, via projection multipliers.
+
+    The raw-sign test (`binding_bounds_at`) asks whether -g_i points out of
+    the box — correct only when the equality constraints don't couple
+    variables.  With Ax = b, whether an active bound blocks descent depends
+    on the direction AFTER projecting -g through A: start with every active
+    bound fixed, project, and release the bounds whose *candidate* freed
+    component
+
+        sigma_i = (-g - Aᵀ w)_i,    (A Z Aᵀ) w = A Z (-g)
+
+    points back into the box (sigma_i > 0 at a lower bound, < 0 at an
+    upper).  sigma_i is exactly the multiplier of the constraint v_i = 0 in
+    the tangent projection, so this is the first-order KKT release rule;
+    each release changes w, hence the small fixed number of passes
+    (a one/two-pass approximation of the tangent-cone projection, standard
+    in gradient-projection methods).  With m == 0 it reduces exactly to
+    `binding_bounds_at`.
+
+    Without this rule the solver stalls on faces where -g points out of the
+    box for every active bound but a feasible descent direction exists
+    through the A-coupling (measured: dense config-3 instances with ~2/3 of
+    bounds active stall at pi ~ 3e-2 under the raw-sign test).
+    """
+    from .cholesky import cho_solve_lower, factor_masked_aat
+
+    r = -g
+    at_lo = jnp.isfinite(poly.xl) & ((x - poly.xl) <= atol)
+    at_hi = jnp.isfinite(poly.xu) & ((poly.xu - x) <= atol)
+    active = at_lo | at_hi
+    if poly.A.shape[0] == 0:
+        release = (at_lo & (r > 0)) | (at_hi & (r < 0))
+        return active & ~release
+
+    fixed = active
+    for _ in range(passes):
+        free = ~fixed
+        L = factor_masked_aat(poly.A, free, reg=reg)
+        w = cho_solve_lower(L, poly.A @ jnp.where(free, r, 0))
+        sigma = r - poly.A.T @ w
+        release = (at_lo & (sigma > 0)) | (at_hi & (sigma < 0))
+        fixed = active & ~release
+    return fixed
+
+
 def add_active(poly: Polyhedron, aset: ActiveSet, mask_or_index, reg: float = 0.0) -> ActiveSet:
     """Union new active variables into the set and refresh the factorization.
 

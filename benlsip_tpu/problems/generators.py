@@ -131,11 +131,15 @@ def dense_quadratic_family(
     theta = {"y": jnp.asarray(y, dtype)}
     Jj = jnp.asarray(J, dtype)
 
+    # J is shared (closed over), not per-instance theta: cast it to the
+    # working dtype in-graph so mixed-precision pipelines that cast theta
+    # (batch/refine.py) see a consistent dtype — XLA constant-folds the
+    # astype, so the compiled program holds a native-dtype constant.
     def residuals(x, th):
-        return Jj @ x - th["y"]
+        return Jj.astype(x.dtype) @ x - th["y"]
 
     def jac_res(x, th):
-        return Jj
+        return Jj.astype(x.dtype)
 
     bp = BatchedProblem(
         residuals=residuals,

@@ -23,7 +23,7 @@ from ..ops.constraints import (
     ActiveSet,
     Polyhedron,
     active_bounds_at,
-    binding_bounds_at,
+    binding_bounds_coupled,
     make_active_set,
     nb_fix,
     step_active_bounds,
@@ -96,9 +96,11 @@ def cauchy_step(
     # unreleasable — the solver then stalls at points where the gradient
     # pushes *into* the feasible box (invisible to the reference's tests,
     # where no bound ever activates).  GPCG intent: fix only the BINDING
-    # active bounds; a non-binding bound whose projected direction turns
-    # against it is re-fixed by a theta = 0 breakpoint below.
-    fixed0 = binding_bounds_at(poly, x, g, atol)
+    # active bounds — judged through the A-coupling via projection
+    # multipliers (see binding_bounds_coupled) — and a non-binding bound
+    # whose projected direction turns against it is re-fixed by a theta = 0
+    # breakpoint below.
+    fixed0 = binding_bounds_coupled(poly, x, g, atol, reg=chol_reg)
     aset0 = make_active_set(poly, fixed0, reg=chol_reg)
     d0 = project_tangent(poly, aset0, -g)
 

@@ -116,3 +116,16 @@ def test_sqp_polish_active_bounds():
     assert np.all(at_bound[exceeded & conv])
     kkt = np.asarray(kkt_measures(bp2, theta, X, Y))
     assert np.all(kkt[conv] < 1.5e-8)
+
+
+def test_mixed_precision_dense_family():
+    # Regression: dense_quadratic_family closes over a shared J; the f32
+    # bulk phase must see a consistent dtype (J used to stay f64 and broke
+    # the lax.cond branches in the TR body).
+    B = 8
+    from benlsip_tpu.problems.generators import dense_quadratic_family
+
+    bp, theta, X0 = dense_quadratic_family(B, n=24, d=64, m=3, seed=2)
+    opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=8)
+    assert float(jnp.mean(info.converged.astype(jnp.float64))) >= 0.9
