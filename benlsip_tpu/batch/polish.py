@@ -126,8 +126,11 @@ def _polish_runner(fns_key, poly_axes_key, num_steps, active_tol, reg, dual_reg,
             jac_nlcons=jac_nlcons,
         )
         fns = bp_i.instance_fns(theta_i)
-        return _polish_one(fns, poly_i, x0_i, num_steps, active_tol, reg,
-                           dual_reg, crit_tol, feas_tol)
+        # Full-precision matmuls for the same reason as solve_fixed_point
+        # (no-op on CPU, where the polish runs by default).
+        with jax.default_matmul_precision("highest"):
+            return _polish_one(fns, poly_i, x0_i, num_steps, active_tol, reg,
+                               dual_reg, crit_tol, feas_tol)
 
     return jax.jit(jax.vmap(one, in_axes=(0, 0, Polyhedron(*poly_axes_key))))
 
@@ -251,10 +254,17 @@ def polish_then_refine(
             return X, Y, info
 
         # Fallback: full f64 refine on the uncertified instances, warm-started
-        # from the polished points (strictly better than X32).
+        # from the polished points (strictly better than X32).  Pad to the
+        # next power of two (capped at fallback_pad): a handful of failures
+        # must not pay a full-batch refine, and powers of two bound the
+        # number of distinct compiled shapes to log2(fallback_pad).
         idx = np.nonzero(~ok_h)[0]
         k = len(idx)
-        pad = (-k) % min(fallback_pad, B)
+        bucket = 1
+        while bucket < k:
+            bucket *= 2
+        bucket = min(max(bucket, 1), min(fallback_pad, B))
+        pad = (-k) % bucket
         idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
         take = lambda a: a[idx_p]
         theta_f = jax.tree.map(take, theta64)

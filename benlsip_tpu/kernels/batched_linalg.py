@@ -30,6 +30,13 @@ Array = jax.Array
 _LANE = 128
 
 
+def _zero(i):
+    # Index-map zero derived from the grid index: a literal 0 canonicalizes
+    # to i64 under jax_enable_x64 while the grid index stays i32, and Mosaic
+    # rejects the mixed-width index tuple ("failed to legalize func.return").
+    return i - i
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -82,8 +89,8 @@ def batched_cholesky(K: Array, block: int = 1024, interpret: bool = False) -> Ar
         functools.partial(_cholesky_kernel, M),
         out_shape=jax.ShapeDtypeStruct((M, M, Bp), K.dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec((M, M, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((M, M, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec((M, M, block), lambda i: (_zero(i), _zero(i), i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((M, M, block), lambda i: (_zero(i), _zero(i), i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(Kt)
     return jnp.moveaxis(out[:, :, :B], -1, 0)
@@ -126,10 +133,10 @@ def batched_cho_solve(L: Array, b: Array, block: int = 1024, interpret: bool = F
         out_shape=jax.ShapeDtypeStruct((M, Bp), L.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, M, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, M, block), lambda i: (_zero(i), _zero(i), i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, block), lambda i: (_zero(i), i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((M, block), lambda i: (_zero(i), i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(Lt, bt)
     return jnp.moveaxis(out[:, :B], -1, 0)
@@ -181,10 +188,10 @@ def batched_thin_qr(A: Array, block: int = 512, interpret: bool = False):
             jax.ShapeDtypeStruct((N, N, Bp), A.dtype),
         ),
         grid=grid,
-        in_specs=[pl.BlockSpec((N, D, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec((N, D, block), lambda i: (_zero(i), _zero(i), i), memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((N, D, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D, block), lambda i: (_zero(i), _zero(i), i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N, block), lambda i: (_zero(i), _zero(i), i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(At)

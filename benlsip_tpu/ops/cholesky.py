@@ -33,8 +33,81 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+from jax.custom_batching import custom_vmap
 
 Array = jax.Array
+
+# The batch-on-lanes Pallas kernels win when the factor is small (fully
+# unrolled straight-line VPU code) and the batch is wide; above this size
+# XLA's blocked lowering is the right tool.
+_PALLAS_MAX_M = 16
+_PALLAS_DTYPES = (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+
+
+@custom_vmap
+def _chol_small(K: Array) -> Array:
+    """Single m×m SPD Cholesky; batching dispatches to the Pallas kernel.
+
+    This is where the reference's LAPACK dpotrf surface meets the TPU:
+    unbatched (or on CPU) it is XLA's `jnp.linalg.cholesky`; under `vmap`
+    over instances — the batched-small regime, where XLA lowers tiny
+    factorizations to scalar loops — the vmap rule routes to the
+    batch-on-lanes Pallas kernel (`kernels/batched_linalg.batched_cholesky`)
+    with the batch on the 128-wide vector lanes.
+    """
+    return jnp.linalg.cholesky(K)
+
+
+@_chol_small.def_vmap
+def _chol_small_vmap(axis_size, in_batched, K):
+    (kb,) = in_batched
+    if not kb:
+        K = jnp.broadcast_to(K, (axis_size,) + K.shape)
+    M = K.shape[-1]
+    if K.ndim == 3 and 0 < M <= _PALLAS_MAX_M and K.dtype in _PALLAS_DTYPES:
+        from ..kernels.batched_linalg import batched_cholesky
+
+        out = lax.platform_dependent(K, cpu=jnp.linalg.cholesky, default=batched_cholesky)
+    else:
+        out = jnp.linalg.cholesky(K)
+    return out, True
+
+
+@custom_vmap
+def _cho_solve_small(L: Array, b: Array) -> Array:
+    """Solve (L Lᵀ) x = b for one small factor; batching → Pallas kernel."""
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+@_cho_solve_small.def_vmap
+def _cho_solve_small_vmap(axis_size, in_batched, L, b):
+    lb, bb = in_batched
+    if not lb:
+        L = jnp.broadcast_to(L, (axis_size,) + L.shape)
+    if not bb:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    M = L.shape[-1]
+    if L.ndim == 3 and b.ndim == 2 and 0 < M <= _PALLAS_MAX_M and L.dtype in _PALLAS_DTYPES:
+        from ..kernels.batched_linalg import batched_cho_solve
+
+        def _xla(args):
+            L_, b_ = args
+            y = jax.scipy.linalg.solve_triangular(L_, b_[..., None], lower=True)
+            return jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L_, -1, -2), y, lower=False
+            )[..., 0]
+
+        out = lax.platform_dependent(
+            (L, b), cpu=_xla, default=lambda args: batched_cho_solve(*args)
+        )
+    else:
+        y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
+        out = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), y, lower=False
+        )[..., 0]
+    return out, True
 
 
 def masked_aat(A: Array, free: Array) -> Array:
@@ -60,7 +133,7 @@ def factor_masked_aat(A: Array, free: Array, reg: float = 0.0) -> Array:
     K = masked_aat(A, free)
     if reg:
         K = K + jnp.asarray(reg, A.dtype) * jnp.eye(m, dtype=A.dtype)
-    return jnp.linalg.cholesky(K)
+    return _chol_small(K)
 
 
 def cho_solve_lower(L: Array, b: Array) -> Array:
@@ -68,8 +141,12 @@ def cho_solve_lower(L: Array, b: Array) -> Array:
 
     The reference's pair of triangular solves `chol.L \\ b; chol.U \\ v`
     (e.g. ref `src/basic_tralcnlss.jl:897-901`,
-    `src/polyhedral_constraints.jl:114-116`).
+    `src/polyhedral_constraints.jl:114-116`).  Vector right-hand sides go
+    through the custom-vmap wrapper so instance batches hit the Pallas
+    batched forward/backward substitution kernel on TPU.
     """
+    if b.ndim == 1:
+        return _cho_solve_small(L, b)
     y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 

@@ -60,6 +60,13 @@ class SolverOptions:
                                  # already at tolerance) -> SOLVE_STALLED
 
     # New knobs (absent in the reference)
+    matmul_precision: str = "highest"
+    # TPU MXU f32 matmuls default to bf16-precision passes (8 mantissa
+    # bits); Gauss-Newton on medium/large instances then cannot converge —
+    # measured: config-3 (n=192, d=1024) converges 64/64 on CPU and 0/64 on
+    # TPU with the default precision.  "highest" (6-pass bf16 ≡ true f32)
+    # is the correct default for a solver; set "default" to opt out on
+    # small well-conditioned batches where speed matters more.
     project_x0: bool = True      # project x0 onto {Ax=b, xl≤x≤xu} at entry;
                                  # the reference silently misbehaves on
                                  # infeasible starts (its iterations only

@@ -214,15 +214,19 @@ def solve_fixed_point(
     opts = opts.resolve_tols(jnp.dtype(dtype))
     atol = default_atol(dtype)
 
-    c0 = outer_init(fns, poly, x0, opts)
-    out = lax.while_loop(
-        lambda c: ~outer_done(c, opts),
-        lambda c: outer_body(fns, poly, opts, atol, c),
-        c0,
-    )
-    # At a critical exit the reference skips the multiplier update
-    # (ref :276-283), returning a y that is one first-order update stale —
-    # the converged estimate is the y_bar = y + mu·c its own gradient used.
-    y_final = jnp.where(out.critical, out.y + out.mu * out.cx, out.y)
-    rx = fns.residuals(out.x)
-    return out.x, y_final, carry_info(out, opts, objective=0.5 * jnp.vdot(rx, rx))
+    # Trace the whole iteration under the configured matmul precision: the
+    # TPU MXU's default f32 path is bf16-precision and Gauss-Newton cannot
+    # converge on it for medium instances (see SolverOptions.matmul_precision).
+    with jax.default_matmul_precision(opts.matmul_precision):
+        c0 = outer_init(fns, poly, x0, opts)
+        out = lax.while_loop(
+            lambda c: ~outer_done(c, opts),
+            lambda c: outer_body(fns, poly, opts, atol, c),
+            c0,
+        )
+        # At a critical exit the reference skips the multiplier update
+        # (ref :276-283), returning a y that is one first-order update stale —
+        # the converged estimate is the y_bar = y + mu·c its own gradient used.
+        y_final = jnp.where(out.critical, out.y + out.mu * out.cx, out.y)
+        rx = fns.residuals(out.x)
+        return out.x, y_final, carry_info(out, opts, objective=0.5 * jnp.vdot(rx, rx))
