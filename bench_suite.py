@@ -91,9 +91,8 @@ def config3(results, B=64, n=192, d=1024):
     from benlsip_tpu.solver.options import SolverOptions
 
     opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
-    # f64 batched solve -> host (see config1 note); the f32 TPU story for
-    # this config is exercised through configs 2/5's bulk phase.
     bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
+    # Reference-model path: f64 batched solve on host.
     with jax.default_device(jax.devices("cpu")[0]):
         dt, (X, Y, info) = _bench(lambda: solve_batched(bp, theta, X0, opts))
     conv = int(jnp.sum(info.converged))
@@ -102,11 +101,28 @@ def config3(results, B=64, n=192, d=1024):
     results.append(
         {
             "config": 3,
-            "case": f"dense_n{n}_d{d}_B{B}",
+            "case": f"dense_n{n}_d{d}_B{B}_cpu_f64",
             "wall_s": round(dt, 4),
             "problems_per_sec": round(conv / dt, 2),
             "converged_frac": round(conv / B, 4),
             "active_bound_frac": round(act, 3),
+        }
+    )
+    # TPU path: mixed-precision pipeline (f32 bulk on chip at full matmul
+    # precision + f64 SQP-polish certification on host).
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+
+    dt, (X, Y, info) = _bench(
+        lambda: solve_mixed_precision(bp, theta, X0, opts, chunk=B)
+    )
+    conv = int(jnp.sum(info.converged))
+    results.append(
+        {
+            "config": 3,
+            "case": f"dense_n{n}_d{d}_B{B}_pipeline",
+            "wall_s": round(dt, 4),
+            "problems_per_sec_kkt1e-8": round(conv / dt, 2),
+            "converged_frac": round(conv / B, 4),
         }
     )
 

@@ -63,30 +63,44 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
     m = A.shape[0]
     p = fns.nlconstraints(x0).shape[0]
 
-    # Active set identified from the f32 point: bounds within active_tol
-    # (relative), then snapped exactly onto the bound.  The f32 solver's own
-    # projections place truly-active variables ON the bound, so the
-    # tolerance only needs to absorb f32 rounding of near-bound iterates.
+    # Active-set identification: bounds within active_tol (relative) of the
+    # warm start are candidates (the f32 solver's projections place truly
+    # active variables ON the bound, so the tolerance only absorbs f32
+    # rounding).  Which candidates are FIXED is re-decided every step from
+    # the current Lagrangian gradient — a semismooth active-set Newton: at a
+    # lower-bound optimum the bound multiplier is sigma_i = (nabla L)_i >= 0
+    # (<= 0 at an upper), so a candidate whose gradient sign says "the
+    # optimizer wants to move inward" is released.  The first step has no
+    # multiplier estimate yet (nu = 0 makes the sign rule the raw-gradient
+    # test, which mis-judges under Ax=b coupling) and fixes every candidate;
+    # from step 2 on, nu from the previous KKT solve makes the rule exact.
+    # A wrong face then self-corrects instead of trapping GN on it
+    # (measured: 60/64 -> 64/64 certified on the dense config-3 family).
     scale = 1.0 + jnp.abs(x0)
     at_lo = jnp.isfinite(poly.xl) & ((x0 - poly.xl) <= active_tol * scale)
     at_hi = jnp.isfinite(poly.xu) & ((poly.xu - x0) <= active_tol * scale)
-    fixed = at_lo | at_hi
-    free = (~fixed).astype(dtype)
     x_start = jnp.where(at_lo, poly.xl, jnp.where(at_hi, poly.xu, x0))
 
-    def step(_, carry):
-        x, _y = carry
+    def step(k, carry):
+        x, nu = carry
         r = fns.residuals(x)
         J = fns.jac_res(x)
         c = fns.nlconstraints(x)
         C = fns.jac_nlcons(x)
         E = jnp.concatenate([C, A], axis=0)            # (p+m, n)
         e = jnp.concatenate([c, A @ x - b], axis=0)    # (p+m,)
+
+        gL = J.T @ r + E.T @ nu
+        keep_lo = at_lo & (gL >= 0)
+        keep_hi = at_hi & (gL <= 0)
+        fixed = jnp.where(k == 0, at_lo | at_hi, keep_lo | keep_hi)
+        free = (~fixed).astype(dtype)
+
         EZ = E * free[None, :]
         JZ = J * free[None, :]
         H = JZ.T @ JZ + jnp.diag(fixed.astype(dtype)) + reg * jnp.diag(free)
-        k = n + p + m
-        K = jnp.zeros((k, k), dtype)
+        kk = n + p + m
+        K = jnp.zeros((kk, kk), dtype)
         K = K.at[:n, :n].set(H)
         K = K.at[:n, n:].set(EZ.T)
         K = K.at[n:, :n].set(EZ)
@@ -95,10 +109,11 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
         sol = jnp.linalg.solve(K, rhs)
         dx = sol[:n] * free
         x_new = jnp.clip(x + dx, poly.xl, poly.xu)
-        return x_new, sol[n : n + p]
+        return x_new, sol[n:]
 
-    y0 = jnp.zeros((p,), dtype)
-    x, y = lax.fori_loop(0, num_steps, step, (x_start, y0))
+    nu0 = jnp.zeros((p + m,), dtype)
+    x, nu = lax.fori_loop(0, num_steps, step, (x_start, nu0))
+    y = nu[:p]
 
     # Certification with the solver's own oracle (exact polyhedral
     # projection of x − ∇L; see solver/subproblem.py criticality_measure).
