@@ -47,7 +47,7 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
     # Warmup (compile both phases)
     # No difficulty sorting here: the pilot run is a second compiled program
     # and TPU compiles through the tunnel are the bench's scarce resource.
-    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=chunk)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=chunk, bulk_device=device)
     jax.block_until_ready(X)
     # Best of 3 timed reps: the socket tunnel to the chip adds 20-60% wall
     # jitter run-to-run (docs/BENCH_NOTES.md); min-wall is the standard
@@ -55,7 +55,9 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
-        X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=chunk)
+        X, Y, info = solve_mixed_precision(
+            bp, theta, X0, opts, chunk=chunk, bulk_device=device
+        )
         jax.block_until_ready(X)
         walls.append(time.perf_counter() - t0)
     conv = int(jnp.sum(info.converged))

@@ -169,10 +169,9 @@ def sqp_polish(
     dtype = X0.dtype
     opts = options.resolve_tols(jnp.dtype(dtype))
     poly = bp.polyhedron(n, dtype)
-    base = Polyhedron(A=2, b=1, xl=1, xu=1)
-    poly_axes = tuple(
-        0 if getattr(poly, f).ndim > getattr(base, f) else None for f in Polyhedron._fields
-    )
+    from .vmap_solve import poly_batch_axes
+
+    poly_axes = poly_batch_axes(poly)
     fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
     run = _polish_runner(fns_key, poly_axes, num_steps, active_tol, reg, dual_reg,
                          float(opts.crit_tol), float(opts.feas_tol))
@@ -209,20 +208,21 @@ def polish_then_refine(
     # Everything below (including the tiny SolveInfo bookkeeping ops) runs
     # under the target device context — with a TPU default device every
     # uncommitted jnp op would cost a host↔device tunnel round trip, which
-    # measured ~10x the whole polish itself.
-    import contextlib
+    # measured ~10x the whole polish itself.  device=None means "where the
+    # bulk solutions live": inputs may arrive with mixed commitments
+    # (host-resident problem data, device-resident X32), so everything is
+    # still gathered onto ONE device — X32's — rather than left in place.
+    from .refine import _cast_tree
 
     if device == "cpu":
         dev = jax.devices("cpu")[0]
-        put = lambda t: jax.tree.map(lambda a: jax.device_put(a, dev), t)
-        ctx = jax.default_device(dev)
+    elif device is None:
+        dev = next(iter(X32.devices()))
     else:
-        put = lambda t: t
-        ctx = contextlib.nullcontext()
-    f64 = lambda t: jax.tree.map(
-        lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        t,
-    )
+        dev = device
+    put = lambda t: jax.tree.map(lambda a: jax.device_put(a, dev), t)
+    ctx = jax.default_device(dev)
+    f64 = lambda t: _cast_tree(t, jnp.float64)
 
     with ctx:
         theta64 = f64(put(theta))
@@ -245,9 +245,13 @@ def polish_then_refine(
             X2, Y2, ok2, pix2, feas2, obj2 = sqp_polish(
                 bp64, theta64, X, options, num_steps=num_steps, active_tol=active_tol
             )
-            upd = ~ok & ok2
+            # Take the re-polished state for every instance that was not
+            # yet certified — certified or not.  Keeping only the certified
+            # ones would make further rounds (and the fallback warm start)
+            # re-run from a byte-identical point, i.e. deterministic no-ops.
+            upd = ~ok
             X = jnp.where(upd[:, None], X2, X)
-            Y = jnp.where(upd[:, None], Y2, Y) if Y.ndim == 2 else Y
+            Y = jnp.where(upd[:, None], Y2, Y)
             pix = jnp.where(upd, pix2, pix)
             feas = jnp.where(upd, feas2, feas)
             obj = jnp.where(upd, obj2, obj)
@@ -283,11 +287,13 @@ def polish_then_refine(
         idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
         take = lambda a: a[idx_p]
         theta_f = jax.tree.map(take, theta64)
-        base = Polyhedron(A=2, b=1, xl=1, xu=1)._asdict()
+        from .vmap_solve import _POLY_BASE_RANK
+
         upd = {
             f: take(getattr(bp64, f))
             for f in ("A", "b", "xl", "xu")
-            if getattr(bp64, f) is not None and getattr(bp64, f).ndim > base[f]
+            if getattr(bp64, f) is not None
+            and getattr(bp64, f).ndim > getattr(_POLY_BASE_RANK, f)
         }
         bp_f = dataclasses.replace(bp64, **upd) if upd else bp64
         Xf, Yf, inf_f = refine_f64(bp_f, theta_f, X[idx_p], options, device=device, chunk=chunk)

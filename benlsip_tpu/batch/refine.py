@@ -61,13 +61,17 @@ def refine_f64(
         # Warm start: x0 is essentially feasible already; keep projection on
         # (cheap) to clean up f32-level bound violations.
     )
+    # Transfer FIRST, cast on the target device: casting first would run
+    # the f64 astype on the source device (emulated and double-width on
+    # TPU).  device=None gathers everything onto X's device (inputs can
+    # arrive with mixed commitments — host problem data, device-resident X).
     if device == "cpu":
-        # Transfer FIRST, cast on host: casting first would run the f64
-        # astype on the source device (emulated and double-width on TPU).
         dev = jax.devices("cpu")[0]
-        put = lambda a: jax.device_put(a, dev)
+    elif device is None:
+        dev = next(iter(X.devices()))
     else:
-        put = lambda a: a
+        dev = device
+    put = lambda a: jax.device_put(a, dev)
     bp64 = dataclasses.replace(
         bp,
         A=None if bp.A is None else put(bp.A).astype(jnp.float64),
@@ -77,10 +81,8 @@ def refine_f64(
     )
     theta64 = _cast_tree(jax.tree.map(put, theta), jnp.float64)
     X64 = put(X).astype(jnp.float64)
-    if device == "cpu":
-        with jax.default_device(dev):
-            return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
-    return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
+    with jax.default_device(dev):
+        return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
 
 
 def solve_mixed_precision(
@@ -95,6 +97,7 @@ def solve_mixed_precision(
     polish: bool = True,
     polish_steps: int = 5,
     bulk_crit_tol: Optional[float] = 1e-2,
+    bulk_device: Optional[jax.Device] = None,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
@@ -122,7 +125,11 @@ def solve_mixed_precision(
     # f64 reads and double-width tunnel traffic; master f64 data belongs on
     # host (where the f64 certification phase runs anyway).
     cpu = jax.devices("cpu")[0]
-    bulk_dev = jax.devices()[0]
+    # Bulk device: explicit argument > ambient default_device > devices()[0].
+    bulk_dev = bulk_device
+    if bulk_dev is None:
+        cfg_dev = jax.config.jax_default_device
+        bulk_dev = cfg_dev if cfg_dev is not None else jax.devices()[0]
     with jax.default_device(cpu):
         put_h = lambda t: jax.tree.map(lambda a: jax.device_put(a, cpu), t)
         theta_h = put_h(theta)       # host master copy, reused by the f64 phase

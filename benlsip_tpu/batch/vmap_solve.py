@@ -78,6 +78,18 @@ class BatchedProblem:
 
 import functools
 
+# Base rank of each Polyhedron field; an extra leading axis marks it as
+# per-instance (batched).
+_POLY_BASE_RANK = Polyhedron(A=2, b=1, xl=1, xu=1)
+
+
+def poly_batch_axes(poly: Polyhedron) -> tuple:
+    """vmap in_axes for a Polyhedron with mixed shared/batched fields."""
+    return tuple(
+        0 if getattr(poly, f).ndim > getattr(_POLY_BASE_RANK, f) else None
+        for f in Polyhedron._fields
+    )
+
 
 @functools.lru_cache(maxsize=128)
 def _batched_runner(fns_key, options: SolverOptions, poly_axes_key, jit: bool):
@@ -121,12 +133,9 @@ def solve_batched(
     poly = bp.polyhedron(n, dtype)
 
     # Per-field batch axes: a field is batched iff it carries an extra axis
-    # beyond its base rank (A: 2, b/xl/xu: 1) — mixed shared/per-instance
-    # constraint data is allowed.
-    base = Polyhedron(A=2, b=1, xl=1, xu=1)
-    poly_axes = tuple(
-        0 if getattr(poly, f).ndim > getattr(base, f) else None for f in Polyhedron._fields
-    )
+    # beyond its base rank — mixed shared/per-instance constraint data is
+    # allowed.
+    poly_axes = poly_batch_axes(poly)
     fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
     run = _batched_runner(fns_key, options, poly_axes, jit)
     return run(theta, X0, poly)
@@ -149,14 +158,14 @@ def solve_batched_chunked(
     B = X0.shape[0]
     chunk = min(chunk, B)
     pad = (-B) % chunk
-    base = Polyhedron(A=2, b=1, xl=1, xu=1)._asdict()
 
     def map_poly_fields(bp_, fn):
         """Apply fn to the constraint fields that carry a batch axis."""
         upd = {
             f: fn(getattr(bp_, f))
             for f in ("A", "b", "xl", "xu")
-            if getattr(bp_, f) is not None and getattr(bp_, f).ndim > base[f]
+            if getattr(bp_, f) is not None
+            and getattr(bp_, f).ndim > getattr(_POLY_BASE_RANK, f)
         }
         return dataclasses.replace(bp_, **upd) if upd else bp_
 
@@ -201,14 +210,15 @@ def solve_sequential(
         return solve_fixed_point(fns, poly_i, x0_i, options)
 
     one_c = jax.jit(one)
-    base = Polyhedron(A=2, b=1, xl=1, xu=1)
     outs = []
     B = X0.shape[0]
     for i in range(B):
         theta_i = jax.tree.map(lambda a: a[i], theta)
         poly_i = Polyhedron(
             *[
-                getattr(poly, f)[i] if getattr(poly, f).ndim > getattr(base, f) else getattr(poly, f)
+                getattr(poly, f)[i]
+                if getattr(poly, f).ndim > getattr(_POLY_BASE_RANK, f)
+                else getattr(poly, f)
                 for f in Polyhedron._fields
             ]
         )

@@ -47,13 +47,15 @@ def _cholesky_kernel(M: int, k_ref, l_ref):
     Each `[i, j]` read/write is a (BB,)-vector; the i/j loops are Python
     (static M) so the kernel is straight-line VPU code.
     """
-    eps = jnp.finfo(k_ref.dtype).tiny
     col = [[None] * M for _ in range(M)]
     for j in range(M):
         acc = k_ref[j, j, :]
         for k in range(j):
             acc = acc - col[j][k] * col[j][k]
-        d = jnp.sqrt(jnp.maximum(acc, eps))
+        # No pivot clamping: a non-SPD pivot must produce NaN exactly like
+        # LAPACK/jnp.linalg.cholesky so callers see the same failure signal
+        # on TPU and CPU (clamping would return finite garbage factors).
+        d = jnp.sqrt(acc)
         col[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, M):

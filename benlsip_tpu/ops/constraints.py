@@ -160,8 +160,12 @@ def binding_bounds_coupled(
     at_lo = jnp.isfinite(poly.xl) & ((x - poly.xl) <= atol)
     at_hi = jnp.isfinite(poly.xu) & ((poly.xu - x) <= atol)
     active = at_lo | at_hi
+    # A pinched box (xl ~ xu within atol) pins the variable for ANY
+    # gradient — releasing it would only burn theta = 0 breakpoints
+    # re-fixing it (and `binding_bounds_at` never releases it either).
+    pinned = at_lo & at_hi
     if poly.A.shape[0] == 0:
-        release = (at_lo & (r > 0)) | (at_hi & (r < 0))
+        release = ((at_lo & (r > 0)) | (at_hi & (r < 0))) & ~pinned
         return active & ~release
 
     fixed = active
@@ -170,8 +174,13 @@ def binding_bounds_coupled(
         L = factor_masked_aat(poly.A, free, reg=reg)
         w = cho_solve_lower(L, poly.A @ jnp.where(free, r, 0))
         sigma = r - poly.A.T @ w
-        release = (at_lo & (sigma > 0)) | (at_hi & (sigma < 0))
-        fixed = active & ~release
+        # NaN guard: with every bound active the first pass can factor a
+        # rank-deficient A Z Aᵀ (free count < m) and sigma goes NaN; a NaN
+        # comparison is False, so requiring finiteness makes that case
+        # degrade to "release nothing" (the pre-coupling behavior) instead
+        # of acting on garbage.
+        release = ((at_lo & (sigma > 0)) | (at_hi & (sigma < 0))) & jnp.isfinite(sigma)
+        fixed = active & ~(release & ~pinned)
     return fixed
 
 
