@@ -4,10 +4,19 @@ The problem is the reference's own integration fixture (sphere regression:
 3 parameters, 4 residuals, a nonlinear sphere constraint, one linear
 equality, full box).  Run: python examples/basic_solve.py
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))  # repo-root run
+
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)  # reference-parity tolerances
+# Single-instance f64 parity solves belong on host: TPUs emulate f64
+# (slowly; the axon stack faults on the full f64 program).  The TPU path
+# is the batched mixed-precision pipeline — see examples/batched_fit.py.
+jax.config.update("jax_platforms", "cpu")
 
 from benlsip_tpu import Problem, SolverOptions, solve
 

@@ -5,6 +5,11 @@ Each instance fits y ≈ a·exp(-b t) + c with bounds and a pinned intercept
 the default device (TPU when available); the f64 refinement certifies
 every fit to the 1.5e-8 KKT tolerance.  Run: python examples/batched_fit.py
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))  # repo-root run
+
 import time
 
 import jax
