@@ -1,0 +1,234 @@
+"""Scaling-efficiency report: 1 chip -> 1 host (N chips) -> N hosts.
+
+The BASELINE north star asks for "iterations/s scaling efficiency reported
+at 1 chip, 1 host, and N>=2 hosts".  This image exposes ONE real TPU chip
+(BENCH_NOTES.md), so multi-chip walls cannot be measured directly.  What
+CAN be measured honestly:
+
+  1. the real-chip per-inner-iteration compute time of the blocked-Jacobian
+     mode (config 4) — bench_suite.py config4 records it;
+  2. the exact communication schedule the SPMD partitioner emits for the
+     N-way sharded program: this script compiles the config-4 train step on
+     a virtual N-device mesh and walks the optimized HLO for collective ops
+     and their payload bytes per solver iteration;
+  3. the DP path's zero-communication property (configs 2/5): the compiled
+     batched program on an N-device ('batch',) mesh must contain NO
+     cross-device collectives at all, making its scaling arithmetic
+     (efficiency = tail-imbalance only).
+
+From (1)+(2) the report predicts scaling efficiency with a stated link
+model: time_comm(N) = bytes_on_wire(N) / ici_bw + n_collectives * ici_lat.
+Default link parameters are the public v5e figures (1 axis visible here;
+see --ici-gbps/--ici-lat-us to re-run under other assumptions); the point
+of the report is the measured bytes/collective counts, which transfer to
+any link model.
+
+Run on CPU (no chip needed):
+  python bench_scaling.py [--blocks 1,2,4,8] [--n 2048 --d 8192]
+
+Output: one JSON line per mesh size + a summary table to stdout; results
+appended to bench_results.jsonl with config "scaling".
+"""
+from __future__ import annotations
+
+import os
+
+# Virtual 8-device CPU mesh; must precede jax import (and the axon
+# sitecustomize re-pins the platform, so also force jax.config below).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import argparse
+import json
+import re
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1, "s64": 8, "u64": 8}
+
+# One optimized-HLO op line, e.g.
+#   %all-reduce.3 = f32[2048]{0} all-reduce(%add.7), replica_groups=...
+_COLLECTIVE_RE = re.compile(
+    r"=\s+\(?([a-z]+\d*)\[([\d,]*)\][^ ]*\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\b"
+)
+
+
+def collective_stats(hlo_text: str):
+    """Count collectives and payload bytes in optimized HLO text."""
+    counts: dict = {}
+    bytes_total = 0
+    for m in _COLLECTIVE_RE.finditer(hlo_text):
+        dtype, dims, op = m.group(1), m.group(2), m.group(3)
+        n_elem = 1
+        for d in dims.split(","):
+            if d.strip():
+                n_elem *= int(d)
+        b = n_elem * _DTYPE_BYTES.get(dtype, 4)
+        counts[op] = counts.get(op, 0) + 1
+        bytes_total += b
+    return counts, bytes_total
+
+
+def compile_config4(n: int, d: int, block: int):
+    """Lower+compile the blocked-Jacobian solve on a `block`-device mesh."""
+    from benlsip_tpu.batch.vmap_solve import BatchedProblem
+    from benlsip_tpu.dist.mesh import make_mesh
+    from benlsip_tpu.dist.sharded import blocked_jacobian_fns
+    from benlsip_tpu.problems.generators import dense_quadratic_family
+    from benlsip_tpu.solver.options import SolverOptions
+    from benlsip_tpu.solver.outer import solve_fixed_point
+
+    mesh = make_mesh(batch=1, block=block)
+    bp, theta, X0 = dense_quadratic_family(1, n=n, d=d, m=4, seed=0,
+                                           dtype=jnp.float32)
+    theta_i = jax.tree.map(lambda a: a[0], theta)
+    x0 = X0[0]
+    opts = SolverOptions(max_outer_iter=2, max_inner_iter=4)
+    poly = bp.polyhedron(n, x0.dtype)
+
+    def run(poly_, x0_, theta_):
+        fns = blocked_jacobian_fns(bp.instance_fns(theta_), mesh)
+        return solve_fixed_point(fns, poly_, x0_, opts)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    place = lambda a: jax.device_put(
+        a,
+        NamedSharding(
+            mesh,
+            P("block", *([None] * (a.ndim - 1)))
+            if a.ndim >= 1 and a.shape[0] % block == 0
+            else P(),
+        ),
+    )
+    theta_i = jax.tree.map(place, theta_i)
+    lowered = jax.jit(run).lower(poly, x0, theta_i)
+    compiled = lowered.compile()
+    return compiled, (poly, x0, theta_i)
+
+
+def compile_dp(B: int, batch_devices: int):
+    """Lower+compile the DP batched solve on a ('batch',) mesh."""
+    from benlsip_tpu.batch.vmap_solve import solve_batched
+    from benlsip_tpu.dist.mesh import batch_sharding, make_mesh, shard_batch
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    mesh = make_mesh(batch=batch_devices, block=1)
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=0, dtype=jnp.float32)
+    theta = shard_batch(theta, mesh)
+    X0 = jax.device_put(X0, batch_sharding(mesh, X0.ndim))
+    opts = SolverOptions(max_outer_iter=3, max_inner_iter=8, max_minor_iter=5)
+
+    def run(theta_, X0_):
+        X, Y, info = solve_batched(bp, theta_, X0_, opts, jit=False)
+        return X, info.converged
+
+    return jax.jit(run).lower(theta, X0).compile(), (theta, X0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", default="1,2,4,8")
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--d", type=int, default=8192)
+    ap.add_argument("--dp-batch", type=int, default=256)
+    # Public v5e figures: ~45 GB/s/dir/link ICI, ~1 us collective latency;
+    # DCN (multi-host) ~25 GB/s/host, ~10 us.  Overridable assumptions.
+    ap.add_argument("--ici-gbps", type=float, default=45.0)
+    ap.add_argument("--ici-lat-us", type=float, default=1.0)
+    ap.add_argument("--dcn-gbps", type=float, default=25.0)
+    ap.add_argument("--dcn-lat-us", type=float, default=10.0)
+    ap.add_argument("--chip-iter-s", type=float, default=None,
+                    help="measured per-inner-iter seconds on the real chip "
+                    "(default: last config-4 entry in bench_results.jsonl)")
+    ap.add_argument("--out", default="bench_results.jsonl")
+    args = ap.parse_args()
+
+    # Measured single-chip per-iteration compute time (config 4).
+    chip_iter_s = args.chip_iter_s
+    if chip_iter_s is None and os.path.exists("bench_results.jsonl"):
+        for line in open("bench_results.jsonl"):
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if r.get("config") == 4 and "sec_per_inner_iter" in r:
+                chip_iter_s = r["sec_per_inner_iter"]
+    results = []
+
+    # --- DP path: prove zero collectives on the ('batch',) mesh. ---
+    compiled, _ = compile_dp(args.dp_batch, 8)
+    counts, nbytes = collective_stats(compiled.as_text())
+    dp_row = {
+        "config": "scaling-dp",
+        "mesh": "batch=8",
+        "B": args.dp_batch,
+        "collectives": counts,
+        "comm_bytes": nbytes,
+        "note": "zero collectives == embarrassingly parallel; efficiency "
+        "bounded only by lockstep tail imbalance",
+    }
+    results.append(dp_row)
+
+    # --- Blocked-Jacobian (config 4): comm volume vs mesh size. ---
+    inner_iters = 2 * 4  # max_outer * max_inner in compile_config4
+    for block in [int(b) for b in args.blocks.split(",")]:
+        t0 = time.time()
+        compiled, _ = compile_config4(args.n, args.d, block)
+        counts, nbytes = collective_stats(compiled.as_text())
+        n_coll = sum(counts.values())
+        per_iter_bytes = nbytes / inner_iters
+        per_iter_coll = n_coll / inner_iters
+        row = {
+            "config": "scaling-blocked",
+            "mesh": f"block={block}",
+            "n": args.n,
+            "d": args.d,
+            "collectives": counts,
+            "comm_bytes_total": nbytes,
+            "comm_bytes_per_iter": round(per_iter_bytes),
+            "collectives_per_iter": round(per_iter_coll, 2),
+            "compile_s": round(time.time() - t0, 1),
+        }
+        if chip_iter_s and block > 1:
+            # Compute shrinks ~1/block (row-sharded GEMMs dominate);
+            # collectives ride ICI within a host, DCN across hosts.
+            for domain, bw, lat in (
+                ("ici", args.ici_gbps, args.ici_lat_us),
+                ("dcn", args.dcn_gbps, args.dcn_lat_us),
+            ):
+                t_comm = per_iter_bytes / (bw * 1e9) + per_iter_coll * lat * 1e-6
+                t_comp = chip_iter_s / block
+                eff = t_comp / (t_comp + t_comm) if t_comp else 0.0
+                row[f"pred_eff_{domain}"] = round(eff, 4)
+                row[f"pred_iter_s_{domain}"] = round(t_comp + t_comm, 5)
+        row["chip_iter_s_measured"] = chip_iter_s
+        results.append(row)
+
+    from benlsip_tpu.harness.metrics import MetricsWriter
+
+    w = MetricsWriter(args.out)
+    for r in results:
+        r["device_model"] = "virtual-cpu-mesh (HLO analysis); "
+        r["device_model"] += "compute time from real v5e chip" if chip_iter_s else "no chip measurement found"
+        w.write(r)
+        print(json.dumps(r), flush=True)
+    w.close()
+
+
+if __name__ == "__main__":
+    main()

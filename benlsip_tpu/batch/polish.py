@@ -40,7 +40,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from ..ops.constraints import Polyhedron
 from ..solver.options import SolverOptions
@@ -52,10 +51,23 @@ Array = jax.Array
 
 
 def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: float,
-                reg: float, dual_reg: float, crit_tol: float, feas_tol: float):
+                reg: float, dual_reg: float, crit_tol: float, feas_tol: float,
+                refactor_steps: int = 2):
     """Polish a single instance (vmapped by the callers).
 
     Returns (x, y, converged, pix, feas, objective).
+
+    `refactor_steps` bounds how many steps rebuild + refactorize the dense
+    KKT matrix (the O(dn²) JᵀJ formation + O((n+p+m)³) LU — the dominant
+    cost at config-3 scale, n≈200).  Steps beyond it reuse the frozen LU
+    with a fresh right-hand side: a frozen-Jacobian (chord) Newton step,
+    linearly convergent from the warm start, at O(dn) per step.  The
+    active-set sign rule is re-decided only while refactorizing (step 0
+    fixes every candidate; step 1 re-decides with the real multipliers —
+    the self-correction documented above), then frozen with the matrix.
+    The steps must be a STATIC Python unroll: under vmap a lax.cond
+    becomes a select that executes both branches, which would pay the
+    refactorization every step anyway.
     """
     dtype = x0.dtype
     n = x0.shape[0]
@@ -81,38 +93,40 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
     at_hi = jnp.isfinite(poly.xu) & ((poly.xu - x0) <= active_tol * scale)
     x_start = jnp.where(at_lo, poly.xl, jnp.where(at_hi, poly.xu, x0))
 
-    def step(k, carry):
-        x, nu = carry
+    from jax.scipy.linalg import lu_factor, lu_solve
+
+    x, nu = x_start, jnp.zeros((p + m,), dtype)
+    lu = piv = free = None
+    for k in range(num_steps):  # static unroll: num_steps is a Python int
         r = fns.residuals(x)
         J = fns.jac_res(x)
         c = fns.nlconstraints(x)
-        C = fns.jac_nlcons(x)
-        E = jnp.concatenate([C, A], axis=0)            # (p+m, n)
         e = jnp.concatenate([c, A @ x - b], axis=0)    # (p+m,)
 
-        gL = J.T @ r + E.T @ nu
-        keep_lo = at_lo & (gL >= 0)
-        keep_hi = at_hi & (gL <= 0)
-        fixed = jnp.where(k == 0, at_lo | at_hi, keep_lo | keep_hi)
-        free = (~fixed).astype(dtype)
+        if k < refactor_steps or lu is None:
+            C = fns.jac_nlcons(x)
+            E = jnp.concatenate([C, A], axis=0)        # (p+m, n)
+            gL = J.T @ r + E.T @ nu
+            keep_lo = at_lo & (gL >= 0)
+            keep_hi = at_hi & (gL <= 0)
+            fixed = (at_lo | at_hi) if k == 0 else (keep_lo | keep_hi)
+            free = (~fixed).astype(dtype)
 
-        EZ = E * free[None, :]
-        JZ = J * free[None, :]
-        H = JZ.T @ JZ + jnp.diag(fixed.astype(dtype)) + reg * jnp.diag(free)
-        kk = n + p + m
-        K = jnp.zeros((kk, kk), dtype)
-        K = K.at[:n, :n].set(H)
-        K = K.at[:n, n:].set(EZ.T)
-        K = K.at[n:, :n].set(EZ)
-        K = K.at[n:, n:].set(-dual_reg * jnp.eye(p + m, dtype=dtype))
+            EZ = E * free[None, :]
+            JZ = J * free[None, :]
+            H = JZ.T @ JZ + jnp.diag(fixed.astype(dtype)) + reg * jnp.diag(free)
+            kk = n + p + m
+            K = jnp.zeros((kk, kk), dtype)
+            K = K.at[:n, :n].set(H)
+            K = K.at[:n, n:].set(EZ.T)
+            K = K.at[n:, :n].set(EZ)
+            K = K.at[n:, n:].set(-dual_reg * jnp.eye(p + m, dtype=dtype))
+            lu, piv = lu_factor(K)
         rhs = jnp.concatenate([-(free * (J.T @ r)), -e])
-        sol = jnp.linalg.solve(K, rhs)
+        sol = lu_solve((lu, piv), rhs)
         dx = sol[:n] * free
-        x_new = jnp.clip(x + dx, poly.xl, poly.xu)
-        return x_new, sol[n:]
-
-    nu0 = jnp.zeros((p + m,), dtype)
-    x, nu = lax.fori_loop(0, num_steps, step, (x_start, nu0))
+        x = jnp.clip(x + dx, poly.xl, poly.xu)
+        nu = sol[n:]
     y = nu[:p]
 
     # Certification with the solver's own oracle (exact polyhedral
@@ -130,7 +144,7 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
 
 @functools.lru_cache(maxsize=128)
 def _polish_runner(fns_key, poly_axes_key, num_steps, active_tol, reg, dual_reg,
-                   crit_tol, feas_tol):
+                   crit_tol, feas_tol, refactor_steps):
     residuals, nlconstraints, jac_res, jac_nlcons = fns_key
 
     def one(theta_i, x0_i, poly_i):
@@ -145,7 +159,7 @@ def _polish_runner(fns_key, poly_axes_key, num_steps, active_tol, reg, dual_reg,
         # (no-op on CPU, where the polish runs by default).
         with jax.default_matmul_precision("highest"):
             return _polish_one(fns, poly_i, x0_i, num_steps, active_tol, reg,
-                               dual_reg, crit_tol, feas_tol)
+                               dual_reg, crit_tol, feas_tol, refactor_steps)
 
     return jax.jit(jax.vmap(one, in_axes=(0, 0, Polyhedron(*poly_axes_key))))
 
@@ -159,6 +173,7 @@ def sqp_polish(
     active_tol: float = 1e-4,
     reg: float = 0.0,
     dual_reg: float = 1e-14,
+    refactor_steps: int = 2,
 ):
     """Batched fixed-active-set SQP polish of warm starts X0.
 
@@ -174,7 +189,7 @@ def sqp_polish(
     poly_axes = poly_batch_axes(poly)
     fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
     run = _polish_runner(fns_key, poly_axes, num_steps, active_tol, reg, dual_reg,
-                         float(opts.crit_tol), float(opts.feas_tol))
+                         float(opts.crit_tol), float(opts.feas_tol), refactor_steps)
     return run(theta, X0, poly)
 
 
@@ -189,6 +204,7 @@ def polish_then_refine(
     chunk: int = 512,
     device: Optional[object] = "cpu",
     rounds: int = 2,
+    refactor_steps: int = 2,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f64 certification phase: SQP polish + full-refine fallback.
 
@@ -236,14 +252,16 @@ def polish_then_refine(
         X64 = f64(put(X32))
 
         X, Y, ok, pix, feas, obj = sqp_polish(
-            bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol
+            bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol,
+            refactor_steps=refactor_steps,
         )
         ok_h = np.asarray(ok)
         for _ in range(rounds - 1):
             if ok_h.all():
                 break
             X2, Y2, ok2, pix2, feas2, obj2 = sqp_polish(
-                bp64, theta64, X, options, num_steps=num_steps, active_tol=active_tol
+                bp64, theta64, X, options, num_steps=num_steps, active_tol=active_tol,
+                refactor_steps=refactor_steps,
             )
             # Take the re-polished state for every instance that was not
             # yet certified — certified or not.  Keeping only the certified
