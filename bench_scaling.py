@@ -91,7 +91,7 @@ def compile_config4(n: int, d: int, block: int):
     from benlsip_tpu.solver.options import SolverOptions
     from benlsip_tpu.solver.outer import solve_fixed_point
 
-    mesh = make_mesh(batch=1, block=block)
+    mesh = make_mesh(batch=1, block=block, devices=jax.devices()[:block])
     bp, theta, X0 = dense_quadratic_family(1, n=n, d=d, m=4, seed=0,
                                            dtype=jnp.float32)
     theta_i = jax.tree.map(lambda a: a[0], theta)
@@ -127,7 +127,8 @@ def compile_dp(B: int, batch_devices: int):
     from benlsip_tpu.problems.generators import exp_fit_family
     from benlsip_tpu.solver.options import SolverOptions
 
-    mesh = make_mesh(batch=batch_devices, block=1)
+    mesh = make_mesh(batch=batch_devices, block=1,
+                     devices=jax.devices()[:batch_devices])
     bp, theta, X0 = exp_fit_family(B, d=32, seed=0, dtype=jnp.float32)
     theta = shard_batch(theta, mesh)
     X0 = jax.device_put(X0, batch_sharding(mesh, X0.ndim))
@@ -179,8 +180,10 @@ def main():
         "B": args.dp_batch,
         "collectives": counts,
         "comm_bytes": nbytes,
-        "note": "zero collectives == embarrassingly parallel; efficiency "
-        "bounded only by lockstep tail imbalance",
+        "note": "no data exchange: the only collectives are 1-byte pred "
+        "all-reduces (the batched while_loop's any-not-done test), so "
+        "efficiency is bounded by lockstep tail imbalance + one scalar "
+        "latency per loop level",
     }
     results.append(dp_row)
 
@@ -211,7 +214,9 @@ def main():
                 ("ici", args.ici_gbps, args.ici_lat_us),
                 ("dcn", args.dcn_gbps, args.dcn_lat_us),
             ):
-                t_comm = per_iter_bytes / (bw * 1e9) + per_iter_coll * lat * 1e-6
+                # Ring all-reduce moves 2(N-1)/N x payload per device.
+                wire = per_iter_bytes * 2 * (block - 1) / block
+                t_comm = wire / (bw * 1e9) + per_iter_coll * lat * 1e-6
                 t_comp = chip_iter_s / block
                 eff = t_comp / (t_comp + t_comm) if t_comp else 0.0
                 row[f"pred_eff_{domain}"] = round(eff, 4)
