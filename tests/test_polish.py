@@ -129,3 +129,21 @@ def test_mixed_precision_dense_family():
     opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
     X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=8)
     assert float(jnp.mean(info.converged.astype(jnp.float64))) >= 0.9
+
+
+def test_polish_frozen_lu_matches_per_step_refactor():
+    # refactor_steps >= num_steps reproduces the rebuild-every-step polish;
+    # the default frozen-LU path (refactor_steps=2) must certify the same
+    # instances and land within the KKT tolerance's x-resolution of it.
+    B = 24
+    bp, theta, X0 = exp_fit_family(B, d=16, seed=11, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X32 = _bulk_f32(bp, theta, X0, opts)
+    X64 = X32.astype(jnp.float64)
+    Xf, Yf, okf, pixf, _, _ = sqp_polish(bp, theta, X64, opts, num_steps=5,
+                                         refactor_steps=2)
+    Xe, Ye, oke, pixe, _, _ = sqp_polish(bp, theta, X64, opts, num_steps=5,
+                                         refactor_steps=5)
+    assert bool(jnp.all(okf)) and bool(jnp.all(oke))
+    assert np.max(np.abs(np.asarray(Xf - Xe))) < 1e-6
+    assert float(jnp.max(pixf)) < 1.5e-8
