@@ -32,11 +32,20 @@ class AlHessian(NamedTuple):
 
     H = JᵀJ + mu CᵀC, stored as its factors — never materialized.
     Mirrors `AlHessian` (ref `src/basic_tralcnlss.jl:6-10`).
+
+    Optionally carries the materialized Gram matrix G = JᵀJ + mu CᵀC
+    (see `with_gram`): when the residual dimension d dominates n, every
+    H·v otherwise streams the (d, n) Jacobian from HBM twice per CG
+    iteration; paying O(d n²) MXU flops once per Jacobian refresh buys an
+    (n, n) operator whose per-iteration HBM traffic is ~2(d+p)/n times
+    smaller — the dominant cost at config-3/4 scale where CG is
+    bandwidth-bound, not flop-bound.
     """
 
     J: Array    # (d, n) residual Jacobian
     C: Array    # (p, n) nonlinear-constraint Jacobian (p may be 0)
     mu: Array   # scalar penalty parameter
+    G: Array | None = None   # optional (n, n) Gram matrix JᵀJ + mu CᵀC
 
 
 def al_value(rx: Array, cx: Array, y: Array, mu: Array) -> Array:
@@ -49,17 +58,39 @@ def al_gradient(J: Array, C: Array, rx: Array, y_bar: Array) -> Array:
     return J.T @ rx + C.T @ y_bar
 
 
+def with_gram(H: AlHessian) -> AlHessian:
+    """Materialize G = JᵀJ + mu CᵀC into the operator (one (n,d)×(d,n) GEMM).
+
+    In the row-sharded blocked-Jacobian mode J is sharded over its d axis, so
+    JᵀJ is a per-chip partial product + one all-reduce of n² — paid once per
+    Jacobian refresh instead of two psums per CG iteration.
+    """
+    G = H.J.T @ H.J + H.mu * (H.C.T @ H.C)
+    return AlHessian(H.J, H.C, H.mu, G)
+
+
 def hv(H: AlHessian, v: Array) -> Array:
     """Matrix-free H @ v = Jᵀ(Jv) + mu Cᵀ(Cv)  (ref `src/basic_tralcnlss.jl:102-106`).
 
     Two GEMV pairs; under vmap these become batched GEMMs on the MXU, and in
     the row-sharded large-instance mode the Jᵀ(Jv) contraction carries a psum.
+    With a materialized Gram matrix (see `with_gram`), one (n,n) GEMV.
     """
+    if H.G is not None:
+        return H.G @ v
     return H.J.T @ (H.J @ v) + H.mu * (H.C.T @ (H.C @ v))
 
 
 def vhv(H: AlHessian, v: Array) -> Array:
-    """Quadratic form vᵀHv = ‖Jv‖² + mu ‖Cv‖²  (ref `src/basic_tralcnlss.jl:92-96`)."""
+    """Quadratic form vᵀHv = ‖Jv‖² + mu ‖Cv‖²  (ref `src/basic_tralcnlss.jl:92-96`).
+
+    The factored form is nonnegative by construction; the Gram form
+    vᵀ(Gv) can round to a tiny negative near vᵀHv ≈ 0, so consumers test
+    curvature against scale-relative tolerances (solver/cg.py), never
+    against exact zero.
+    """
+    if H.G is not None:
+        return jnp.vdot(v, H.G @ v)
     Jv = H.J @ v
     Cv = H.C @ v
     return jnp.vdot(Jv, Jv) + H.mu * jnp.vdot(Cv, Cv)

@@ -71,6 +71,16 @@ class SolverOptions:
                                  # the reference silently misbehaves on
                                  # infeasible starts (its iterations only
                                  # move within the feasible polyhedron)
+    gram_hessian: str = "auto"
+    # "on"/"off"/"auto": materialize the Gram matrix G = JᵀJ + mu CᵀC once
+    # per Jacobian refresh so every H·v in CG/Cauchy reads an (n,n) operator
+    # instead of streaming the (d,n) Jacobian twice — the CG loop at
+    # config-3/4 scale is HBM-bandwidth-bound, not flop-bound.  "auto" turns
+    # it on when n ≥ 64 and d + p ≥ 2n (bandwidth regime with an amortizable
+    # O(dn²) build).  Off for tiny batched instances: the Gram form squares
+    # the Jacobian's conditioning, which the f32 bulk phase of the
+    # mixed-precision pipeline has no accuracy headroom for at default
+    # tolerances (the f64 phases are indifferent).
     tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
     chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
     verbose: bool = False        # iteration log via host callback (the

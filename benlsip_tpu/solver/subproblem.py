@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.al import AlHessian, al_gradient, evaluate_al, new_point
+from ..ops.al import AlHessian, al_gradient, evaluate_al, new_point, with_gram
 from ..ops.constraints import ActiveSet, Polyhedron
 from ..ops.polyproject import projection_polyhedron
 from ..ops.project import norm_reduced_gradient
@@ -113,6 +113,17 @@ def solve_subproblem(
     rx0, cx0, _, mx0, g0, H0 = new_point(
         x0, y, mu, fns.residuals, fns.nlconstraints, fns.jac_res, fns.jac_nlcons
     )
+    # Static (shape-based) decision: materialize the Gram operator when the
+    # Jacobian is tall enough that streaming it per H·v dominates (see
+    # SolverOptions.gram_hessian).  Both while-loop branches below then
+    # carry the same pytree structure.
+    n = x0.shape[0]
+    d_plus_p = rx0.shape[0] + cx0.shape[0]
+    use_gram = opts.gram_hessian == "on" or (
+        opts.gram_hessian == "auto" and n >= 64 and d_plus_p >= 2 * n
+    )
+    if use_gram:
+        H0 = with_gram(H0)
     delta0 = initial_tr(g0, opts.tr_factor)
 
     c0 = _TRCarry(
@@ -183,7 +194,10 @@ def solve_subproblem(
             Cn = fns.jac_nlcons(x_next)
             y_bar = y + mu * cx_next
             gn = al_gradient(Jn, Cn, rx_next, y_bar)
-            return gn, AlHessian(Jn, Cn, mu)
+            Hn = AlHessian(Jn, Cn, mu)
+            if use_gram:
+                Hn = with_gram(Hn)
+            return gn, Hn
 
         def keep(_):
             return c.g, c.H

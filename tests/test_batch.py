@@ -52,6 +52,13 @@ def test_dense_family_medium():
     opts = SolverOptions(max_outer_iter=20, max_inner_iter=80)
     X, Y, info = solve_batched(bp, theta, X0, opts)
     assert bool(jnp.all(info.converged))
+    # Gram-operator mode (H·v through a materialized J'J + mu C'C instead of
+    # streaming J twice) must land on the same KKT point.
+    Xg, Yg, infog = solve_batched(
+        bp, theta, X0, SolverOptions(max_outer_iter=20, max_inner_iter=80, gram_hessian="on")
+    )
+    assert bool(jnp.all(infog.converged))
+    np.testing.assert_allclose(np.asarray(Xg), np.asarray(X), atol=1e-6)
     # Linear feasibility and bounds at the solutions.
     A, b = np.asarray(bp.A), np.asarray(bp.b)
     for i in range(B):

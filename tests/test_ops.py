@@ -43,6 +43,24 @@ def test_al_hessian_matvec_and_quadform():
     np.testing.assert_allclose(vhv(H, v), v @ H_dense @ v, rtol=1e-12)
 
 
+def test_al_hessian_gram_mode_matches_matrix_free():
+    # with_gram materializes G = J'J + mu C'C once; hv/vhv through G must
+    # agree with the factored form (and with p == 0 constraint blocks).
+    from benlsip_tpu.ops.al import with_gram
+
+    for p in (3, 0):
+        n, d = 7, 19
+        J = jnp.asarray(rng.random((d, n)))
+        C = jnp.asarray(rng.random((p, n)))
+        mu = jnp.asarray(2.5)
+        v = jnp.asarray(rng.random(n))
+        H = AlHessian(J, C, mu)
+        Hg = with_gram(H)
+        assert Hg.G is not None and Hg.G.shape == (n, n)
+        np.testing.assert_allclose(hv(Hg, v), hv(H, v), rtol=1e-12)
+        np.testing.assert_allclose(vhv(Hg, v), vhv(H, v), rtol=1e-12)
+
+
 def test_al_hessian_empty_constraints():
     # p == 0 nonlinear constraints must work (reference crashes, quirk 6).
     n, d = 4, 6
