@@ -50,24 +50,30 @@ from .vmap_solve import BatchedProblem
 Array = jax.Array
 
 
-def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: float,
-                reg: float, dual_reg: float, crit_tol: float, feas_tol: float,
-                refactor_steps: int = 2):
-    """Polish a single instance (vmapped by the callers).
+def _factor_phase(fns, poly: Polyhedron, x0: Array, refactor_steps: int,
+                  active_tol: float, reg: float, dual_reg: float):
+    """Active-set settling + KKT factorization steps (single instance).
 
-    Returns (x, y, converged, pix, feas, objective).
+    Runs the refactorizing Gauss-Newton steps — the O(dn²) JᵀJ formation +
+    O((n+p+m)³) LU each, the dominant polish cost at config-3 scale — and
+    returns (x, nu, lu, piv, free) for the chord phase to iterate on.
 
-    `refactor_steps` bounds how many steps rebuild + refactorize the dense
-    KKT matrix (the O(dn²) JᵀJ formation + O((n+p+m)³) LU — the dominant
-    cost at config-3 scale, n≈200).  Steps beyond it reuse the frozen LU
-    with a fresh right-hand side: a frozen-Jacobian (chord) Newton step,
-    linearly convergent from the warm start, at O(dn) per step.  The
-    active-set sign rule is re-decided only while refactorizing (step 0
-    fixes every candidate; step 1 re-decides with the real multipliers —
-    the self-correction documented above), then frozen with the matrix.
-    The steps must be a STATIC Python unroll: under vmap a lax.cond
-    becomes a select that executes both branches, which would pay the
-    refactorization every step anyway.
+    Active-set identification: bounds within active_tol (relative) of the
+    warm start are candidates (the f32 solver's projections place truly
+    active variables ON the bound, so the tolerance only absorbs f32
+    rounding).  Which candidates are FIXED is re-decided every refactor
+    step from the current Lagrangian gradient — a semismooth active-set
+    Newton: at a lower-bound optimum the bound multiplier is
+    sigma_i = (nabla L)_i >= 0 (<= 0 at an upper), so a candidate whose
+    gradient sign says "the optimizer wants to move inward" is released.
+    The first step has no multiplier estimate yet (nu = 0 makes the sign
+    rule the raw-gradient test, which mis-judges under Ax=b coupling) and
+    fixes every candidate; from step 2 on, nu from the previous KKT solve
+    makes the rule exact.  A wrong face then self-corrects instead of
+    trapping GN on it (measured: 60/64 -> 64/64 certified on the dense
+    config-3 family).  The steps must be a STATIC Python unroll: under
+    vmap a lax.cond becomes a select that executes both branches, which
+    would pay the refactorization every step anyway.
     """
     dtype = x0.dtype
     n = x0.shape[0]
@@ -75,19 +81,6 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
     m = A.shape[0]
     p = fns.nlconstraints(x0).shape[0]
 
-    # Active-set identification: bounds within active_tol (relative) of the
-    # warm start are candidates (the f32 solver's projections place truly
-    # active variables ON the bound, so the tolerance only absorbs f32
-    # rounding).  Which candidates are FIXED is re-decided every step from
-    # the current Lagrangian gradient — a semismooth active-set Newton: at a
-    # lower-bound optimum the bound multiplier is sigma_i = (nabla L)_i >= 0
-    # (<= 0 at an upper), so a candidate whose gradient sign says "the
-    # optimizer wants to move inward" is released.  The first step has no
-    # multiplier estimate yet (nu = 0 makes the sign rule the raw-gradient
-    # test, which mis-judges under Ax=b coupling) and fixes every candidate;
-    # from step 2 on, nu from the previous KKT solve makes the rule exact.
-    # A wrong face then self-corrects instead of trapping GN on it
-    # (measured: 60/64 -> 64/64 certified on the dense config-3 family).
     scale = 1.0 + jnp.abs(x0)
     at_lo = jnp.isfinite(poly.xl) & ((x0 - poly.xl) <= active_tol * scale)
     at_hi = jnp.isfinite(poly.xu) & ((poly.xu - x0) <= active_tol * scale)
@@ -97,35 +90,65 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
 
     x, nu = x_start, jnp.zeros((p + m,), dtype)
     lu = piv = free = None
-    for k in range(num_steps):  # static unroll: num_steps is a Python int
+    for k in range(max(refactor_steps, 1)):  # static unroll
         r = fns.residuals(x)
         J = fns.jac_res(x)
         c = fns.nlconstraints(x)
         e = jnp.concatenate([c, A @ x - b], axis=0)    # (p+m,)
 
-        if k < refactor_steps or lu is None:
-            C = fns.jac_nlcons(x)
-            E = jnp.concatenate([C, A], axis=0)        # (p+m, n)
-            gL = J.T @ r + E.T @ nu
-            keep_lo = at_lo & (gL >= 0)
-            keep_hi = at_hi & (gL <= 0)
-            fixed = (at_lo | at_hi) if k == 0 else (keep_lo | keep_hi)
-            free = (~fixed).astype(dtype)
+        C = fns.jac_nlcons(x)
+        E = jnp.concatenate([C, A], axis=0)            # (p+m, n)
+        gL = J.T @ r + E.T @ nu
+        keep_lo = at_lo & (gL >= 0)
+        keep_hi = at_hi & (gL <= 0)
+        fixed = (at_lo | at_hi) if k == 0 else (keep_lo | keep_hi)
+        free = (~fixed).astype(dtype)
 
-            EZ = E * free[None, :]
-            JZ = J * free[None, :]
-            H = JZ.T @ JZ + jnp.diag(fixed.astype(dtype)) + reg * jnp.diag(free)
-            kk = n + p + m
-            K = jnp.zeros((kk, kk), dtype)
-            K = K.at[:n, :n].set(H)
-            K = K.at[:n, n:].set(EZ.T)
-            K = K.at[n:, :n].set(EZ)
-            K = K.at[n:, n:].set(-dual_reg * jnp.eye(p + m, dtype=dtype))
-            lu, piv = lu_factor(K)
+        EZ = E * free[None, :]
+        JZ = J * free[None, :]
+        H = JZ.T @ JZ + jnp.diag(fixed.astype(dtype)) + reg * jnp.diag(free)
+        kk = n + p + m
+        K = jnp.zeros((kk, kk), dtype)
+        K = K.at[:n, :n].set(H)
+        K = K.at[:n, n:].set(EZ.T)
+        K = K.at[n:, :n].set(EZ)
+        K = K.at[n:, n:].set(-dual_reg * jnp.eye(p + m, dtype=dtype))
+        lu, piv = lu_factor(K)
         rhs = jnp.concatenate([-(free * (J.T @ r)), -e])
         sol = lu_solve((lu, piv), rhs)
-        dx = sol[:n] * free
-        x = jnp.clip(x + dx, poly.xl, poly.xu)
+        x = jnp.clip(x + sol[:n] * free, poly.xl, poly.xu)
+        nu = sol[n:]
+    return x, nu, lu, piv, free
+
+
+def _chord_phase(fns, poly: Polyhedron, x: Array, nu: Array, lu: Array,
+                 piv: Array, free: Array, chord_steps: int,
+                 crit_tol: float, feas_tol: float):
+    """Frozen-LU (chord) Newton steps + certification (single instance).
+
+    Each step reuses the factor-phase LU with a fresh right-hand side —
+    a frozen-Jacobian Newton step, linearly convergent from the warm
+    start, at O(dn) per step.  When the LU was computed in a lower
+    precision (the split pipeline: f32 factors promoted to f64), this is
+    classic mixed-precision iterative refinement of the KKT system: the
+    contraction factor is ~kappa(K)·eps(f32) per step, and the certified
+    accuracy comes from the f64 residuals, not the factor.
+
+    Returns (x, y, converged, pix, feas, objective).
+    """
+    n = x.shape[0]
+    A, b = poly.A, poly.b
+    p = nu.shape[0] - A.shape[0]
+    from jax.scipy.linalg import lu_solve
+
+    for _ in range(chord_steps):  # static unroll
+        r = fns.residuals(x)
+        J = fns.jac_res(x)
+        c = fns.nlconstraints(x)
+        e = jnp.concatenate([c, A @ x - b], axis=0)
+        rhs = jnp.concatenate([-(free * (J.T @ r)), -e])
+        sol = lu_solve((lu, piv), rhs)
+        x = jnp.clip(x + sol[:n] * free, poly.xl, poly.xu)
         nu = sol[n:]
     y = nu[:p]
 
@@ -140,6 +163,21 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
     feas = jnp.sqrt(jnp.sum(c * c) + jnp.sum((A @ x - b) ** 2))
     converged = (pix <= crit_tol) & (feas <= feas_tol)
     return x, y, converged, pix, feas, 0.5 * jnp.vdot(r, r)
+
+
+def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: float,
+                reg: float, dual_reg: float, crit_tol: float, feas_tol: float,
+                refactor_steps: int = 2):
+    """Polish a single instance (vmapped by the callers): factor phase
+    (refactorizing GN steps) + chord phase (frozen-LU steps) + certification,
+    all in the working dtype on one device.
+
+    Returns (x, y, converged, pix, feas, objective).
+    """
+    rs = min(max(refactor_steps, 1), num_steps)
+    x, nu, lu, piv, free = _factor_phase(fns, poly, x0, rs, active_tol, reg, dual_reg)
+    return _chord_phase(fns, poly, x, nu, lu, piv, free, num_steps - rs,
+                        crit_tol, feas_tol)
 
 
 @functools.lru_cache(maxsize=128)
@@ -193,6 +231,126 @@ def sqp_polish(
     return run(theta, X0, poly)
 
 
+@functools.lru_cache(maxsize=128)
+def _factor_runner(fns_key, poly_axes_key, refactor_steps, active_tol, reg, dual_reg):
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+
+    def one(theta_i, x0_i, poly_i):
+        fns = BatchedProblem(
+            residuals=residuals, nlconstraints=nlconstraints,
+            jac_res=jac_res, jac_nlcons=jac_nlcons,
+        ).instance_fns(theta_i)
+        # Full-precision f32 matmuls: the KKT build is exactly the op class
+        # the MXU's bf16-pass default breaks (see SolverOptions).
+        with jax.default_matmul_precision("highest"):
+            return _factor_phase(fns, poly_i, x0_i, refactor_steps, active_tol,
+                                 reg, dual_reg)
+
+    def run(theta, X0, poly):
+        x, nu, lu, piv, free = jax.vmap(
+            one, in_axes=(0, 0, Polyhedron(*poly_axes_key))
+        )(theta, X0, poly)
+        # One flat f32 buffer so the host pulls the whole factor-phase
+        # output in a single D2H transfer (per-leaf pulls pay the tunnel
+        # round-trip each; docs/BENCH_NOTES.md); piv rides separately (int).
+        flat = jnp.concatenate(
+            [a.reshape(a.shape[0], -1) for a in (x, nu, lu, free)], axis=1
+        )
+        return flat, piv
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=128)
+def _chord_runner(fns_key, poly_axes_key, chord_steps, crit_tol, feas_tol):
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+
+    def one(theta_i, x_i, nu_i, lu_i, piv_i, free_i, poly_i):
+        fns = BatchedProblem(
+            residuals=residuals, nlconstraints=nlconstraints,
+            jac_res=jac_res, jac_nlcons=jac_nlcons,
+        ).instance_fns(theta_i)
+        # Fixed variables arrive on the f32-rounded image of their bound;
+        # snap them to the working-dtype bound (a no-op when the factor
+        # phase ran in the same dtype) so the exact-projection certificate
+        # doesn't see a ~eps(f32) face offset.
+        fixedm = free_i == 0
+        lo_near = jnp.abs(x_i - poly_i.xl) <= jnp.abs(poly_i.xu - x_i)
+        x_i = jnp.where(fixedm & jnp.isfinite(poly_i.xl) & lo_near, poly_i.xl, x_i)
+        x_i = jnp.where(fixedm & jnp.isfinite(poly_i.xu) & ~lo_near, poly_i.xu, x_i)
+        with jax.default_matmul_precision("highest"):
+            return _chord_phase(fns, poly_i, x_i, nu_i, lu_i, piv_i, free_i,
+                                chord_steps, crit_tol, feas_tol)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, Polyhedron(*poly_axes_key))))
+
+
+def sqp_polish_split(
+    bp32: BatchedProblem,
+    theta32,
+    X32: Array,
+    bp64: BatchedProblem,
+    theta64,
+    options: SolverOptions = SolverOptions(),
+    num_steps: int = 5,
+    active_tol: float = 1e-4,
+    reg: float = 0.0,
+    dual_reg: float = 1e-14,
+    refactor_steps: int = 2,
+):
+    """Device-factored SQP polish: f32 factor phase where X32 lives (the
+    TPU after the bulk solve), f64 chord phase on host with the promoted
+    factors — mixed-precision iterative refinement of the KKT system.
+
+    The O(dn² + (n+p+m)³) build+factor work runs at MXU f32 rates on data
+    that is already device-resident; the host pays only O(dn + n²) per
+    chord step in f64.  Accuracy comes from the f64 residuals (certified
+    with the exact-projection oracle exactly as `sqp_polish`); an
+    ill-conditioned instance whose f32 factor cannot contract simply fails
+    certification and takes the standard fallback.
+
+    Returns (X, Y, converged, pix, feas, objective) in f64 on host.
+    """
+    n = X32.shape[-1]
+    opts = options.resolve_tols(jnp.dtype(jnp.float64))
+    from .vmap_solve import poly_batch_axes
+
+    poly32 = bp32.polyhedron(n, jnp.float32)
+    fns_key32 = (bp32.residuals, bp32.nlconstraints, bp32.jac_res, bp32.jac_nlcons)
+    rs = min(max(refactor_steps, 1), num_steps)
+    fr = _factor_runner(fns_key32, poly_batch_axes(poly32), rs, active_tol, reg, dual_reg)
+    flat32, piv = fr(theta32, X32, poly32)
+
+    # Static output shapes: p via eval_shape (no device compute), m from A.
+    B = X32.shape[0]
+    m = poly32.A.shape[-2]
+    fns0 = bp64.instance_fns(jax.tree.map(lambda a: a[:1][0], theta64))
+    p = jax.eval_shape(
+        fns0.nlconstraints, jax.ShapeDtypeStruct((n,), jnp.float64)
+    ).shape[0]
+    kk = n + p + m
+    shapes = ((B, n), (B, p + m), (B, kk, kk), (B, n))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        flat_h = np.asarray(flat32)          # ONE D2H pull of the f32 payload
+        piv_h = jnp.asarray(np.asarray(piv))
+        parts, off = [], 0
+        for shp in shapes:
+            size = int(np.prod(shp[1:]))
+            parts.append(
+                jnp.asarray(flat_h[:, off:off + size].reshape(shp), jnp.float64)
+            )
+            off += size
+        x, nu, lu, free = parts
+
+        poly64 = bp64.polyhedron(n, jnp.float64)
+        fns_key64 = (bp64.residuals, bp64.nlconstraints, bp64.jac_res, bp64.jac_nlcons)
+        cr = _chord_runner(fns_key64, poly_batch_axes(poly64), num_steps,
+                           float(opts.crit_tol), float(opts.feas_tol))
+        return cr(theta64, x, nu, lu, piv_h, free, poly64)
+
+
 def polish_then_refine(
     bp: BatchedProblem,
     theta,
@@ -205,6 +363,9 @@ def polish_then_refine(
     device: Optional[object] = "cpu",
     rounds: int = 2,
     refactor_steps: int = 2,
+    bp32: Optional[BatchedProblem] = None,
+    theta32=None,
+    split: str = "auto",
 ) -> Tuple[Array, Array, SolveInfo]:
     """f64 certification phase: SQP polish + full-refine fallback.
 
@@ -215,6 +376,14 @@ def polish_then_refine(
     (bounding compile-cache churn across shapes), and re-solved through the
     full `refine_f64` path, then scattered back.  Returns f64
     (X, Y, SolveInfo).
+
+    With `bp32`/`theta32` (the bulk phase's device-resident f32 working
+    set) and `split` "auto"/"on", the first polish round is
+    `sqp_polish_split`: the KKT factorizations run in f32 on the bulk
+    device, the host only iterates chord steps in f64 — the polish cost
+    at config-3 scale (n≈200) drops from O(dn²+n³) to O(dn+n²) per
+    instance on host.  "auto" enables it when n ≥ 64 (for tiny instances
+    the host factors faster than one extra device round-trip).
     """
     from .refine import refine_f64
 
@@ -249,12 +418,23 @@ def polish_then_refine(
             xl=None if bp.xl is None else f64(put(bp.xl)),
             xu=None if bp.xu is None else f64(put(bp.xu)),
         )
-        X64 = f64(put(X32))
-
-        X, Y, ok, pix, feas, obj = sqp_polish(
-            bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol,
-            refactor_steps=refactor_steps,
+        use_split = (
+            bp32 is not None
+            and theta32 is not None
+            and (split == "on" or (split == "auto" and X32.shape[-1] >= 64))
         )
+        if use_split:
+            X, Y, ok, pix, feas, obj = sqp_polish_split(
+                bp32, theta32, X32, bp64, theta64, options,
+                num_steps=num_steps, active_tol=active_tol,
+                refactor_steps=refactor_steps,
+            )
+        else:
+            X64 = f64(put(X32))
+            X, Y, ok, pix, feas, obj = sqp_polish(
+                bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol,
+                refactor_steps=refactor_steps,
+            )
         ok_h = np.asarray(ok)
         for _ in range(rounds - 1):
             if ok_h.all():

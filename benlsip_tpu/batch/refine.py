@@ -184,5 +184,9 @@ def solve_mixed_precision(
         return polish_then_refine(
             bp_h, theta_h, X32, options, num_steps=polish_steps, chunk=chunk,
             device=refine_device,
+            # Hand the device-resident f32 working set to the polish so it
+            # can factor the KKT systems on the bulk device (split polish;
+            # auto-enabled for n >= 64).
+            bp32=bp32, theta32=theta32,
         )
     return refine_f64(bp_h, theta_h, X32, options, device=refine_device, chunk=chunk)

@@ -147,3 +147,37 @@ def test_polish_frozen_lu_matches_per_step_refactor():
     assert bool(jnp.all(okf)) and bool(jnp.all(oke))
     assert np.max(np.abs(np.asarray(Xf - Xe))) < 1e-6
     assert float(jnp.max(pixf)) < 1.5e-8
+
+
+def test_split_polish_matches_host_polish():
+    # sqp_polish_split (f32 factor phase + f64 chord/certification with the
+    # promoted factors — mixed-precision iterative refinement of the KKT
+    # system) must certify the same instances as the all-f64 host polish
+    # and land within the KKT tolerance's x-resolution of it.
+    from benlsip_tpu.batch.polish import sqp_polish_split
+    from benlsip_tpu.problems.generators import dense_quadratic_family
+
+    B = 8
+    bp, theta, X0 = dense_quadratic_family(B, n=96, d=384, m=3, seed=9)
+    opts = SolverOptions(max_outer_iter=20, max_inner_iter=80)
+    bulk = SolverOptions(max_outer_iter=20, max_inner_iter=80, crit_tol=1e-2)
+    X32 = _bulk_f32(bp, theta, X0, bulk)
+    bp32 = dataclasses.replace(
+        bp,
+        A=bp.A.astype(jnp.float32), b=bp.b.astype(jnp.float32),
+        xl=bp.xl.astype(jnp.float32), xu=bp.xu.astype(jnp.float32),
+    )
+    th32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        theta,
+    )
+    Xs, Ys, oks, pixs, feass, _ = sqp_polish_split(
+        bp32, th32, X32, bp, theta, opts, num_steps=5
+    )
+    Xh, Yh, okh, pixh, _, _ = sqp_polish(bp, theta, X32.astype(jnp.float64), opts,
+                                         num_steps=5)
+    assert Xs.dtype == jnp.float64
+    assert bool(jnp.all(oks)), np.asarray(pixs)
+    assert bool(jnp.all(okh))
+    assert float(jnp.max(pixs)) < 1.5e-8
+    assert np.max(np.abs(np.asarray(Xs - Xh))) < 1e-6
