@@ -134,6 +134,18 @@ def _chord_phase(fns, poly: Polyhedron, x: Array, nu: Array, lu: Array,
     contraction factor is ~kappa(K)·eps(f32) per step, and the certified
     accuracy comes from the f64 residuals, not the factor.
 
+    The update is in INCREMENTAL (delta) form for both primal and dual:
+    the right-hand side is the exact KKT residual at the current (x, nu)
+    evaluated in the working dtype, −[Z(Jᵀr + Eᵀnu); e], and the solve
+    yields (dx, dnu).  The non-incremental form (fresh nu each step from
+    rhs = −[ZJᵀr; e]) has a fixed point whose stationarity holds through
+    the FROZEN operator E₃₂ baked into the LU — a ~‖nu‖·eps(f32)
+    stationarity floor (measured ~1e-7 on the dense config-3 family)
+    that no number of chord steps crosses.  The delta form's fixed point
+    zeroes the exact-operator residual, so accuracy is limited only by
+    the f64 evaluation, while the f32 factor merely sets the contraction
+    rate.
+
     Returns (x, y, converged, pix, feas, objective).
     """
     n = x.shape[0]
@@ -145,11 +157,13 @@ def _chord_phase(fns, poly: Polyhedron, x: Array, nu: Array, lu: Array,
         r = fns.residuals(x)
         J = fns.jac_res(x)
         c = fns.nlconstraints(x)
+        C = fns.jac_nlcons(x)
         e = jnp.concatenate([c, A @ x - b], axis=0)
-        rhs = jnp.concatenate([-(free * (J.T @ r)), -e])
+        gL = J.T @ r + jnp.concatenate([C, A], axis=0).T @ nu
+        rhs = jnp.concatenate([-(free * gL), -e])
         sol = lu_solve((lu, piv), rhs)
         x = jnp.clip(x + sol[:n] * free, poly.xl, poly.xu)
-        nu = sol[n:]
+        nu = nu + sol[n:]
     y = nu[:p]
 
     # Certification with the solver's own oracle (exact polyhedral
