@@ -121,6 +121,125 @@ def _factor_phase(fns, poly: Polyhedron, x0: Array, refactor_steps: int,
     return x, nu, lu, piv, free
 
 
+def _kkt_solve_qr(RJ: Array, Qw: Array, Tw: Array, rhs_x: Array, rhs_e: Array):
+    """Solve the GN KKT system through its range-space QR factors.
+
+        [ RJᵀRJ   (EZ)ᵀ ] [dx]   [rhs_x]        RJ  = qr_r([JZ; D_fixed])
+        [  EZ       0   ] [dν] = [rhs_e]        Wᵀ  = RJ⁻ᵀ(EZ)ᵀ = Qw Tw
+
+    Substituting t = RJ dx eliminates the primal block: the dual solves
+    TwᵀTw dν = W z₀ − rhs_e with z₀ = RJ⁻ᵀ rhs_x, then t = z₀ − Wᵀdν and
+    dx = RJ⁻¹ t.  Every operation is a triangular solve or an orthogonal
+    product, so the factorization error is O(κ(J)·eps) — the LU of the
+    assembled KKT matrix (whose H block carries JᵀJ) is O(κ(J)²·eps),
+    which is the difference between an f32 factor that contracts under
+    iterative refinement and one that diverges at κ(J) ≳ 3e3 (the
+    BASELINE north-star "QR+PCG" regime).
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    z0 = solve_triangular(RJ.T, rhs_x, lower=True)
+    if Tw.shape[0] == 0:
+        dnu = jnp.zeros_like(rhs_e)
+        t = z0
+    else:
+        u = Qw.T @ z0 - solve_triangular(Tw.T, rhs_e, lower=True)
+        dnu = solve_triangular(Tw, u, lower=False)
+        t = z0 - Qw @ (Tw @ dnu)
+    dx = solve_triangular(RJ, t, lower=False)
+    return dx, dnu
+
+
+def _factor_phase_qr(fns, poly: Polyhedron, x0: Array, refactor_steps: int,
+                     active_tol: float, reg: float):
+    """QR-factored twin of `_factor_phase` (same active-set settling logic,
+    same GN steps) returning (x, nu, RJ, Qw, Tw, free).
+
+    Instead of assembling and LU-factoring the (n+p+m) KKT matrix — whose
+    H = (JZ)ᵀ(JZ) block squares the Jacobian's conditioning before the
+    factorization ever sees it — this factors the Jacobian itself:
+    RJ = qr_r([JZ; D]) with D = diag(fixed ? 1 : sqrt(reg)) (so RJᵀRJ =
+    H exactly), and the constraint coupling through the thin QR of
+    Wᵀ = RJ⁻ᵀ(EZ)ᵀ, whose p+m columns are the Pallas MGS kernel's design
+    point under vmap (ops/qr.py).
+    """
+    dtype = x0.dtype
+    n = x0.shape[0]
+    A, b = poly.A, poly.b
+    m = A.shape[0]
+    p = fns.nlconstraints(x0).shape[0]
+
+    scale = 1.0 + jnp.abs(x0)
+    at_lo = jnp.isfinite(poly.xl) & ((x0 - poly.xl) <= active_tol * scale)
+    at_hi = jnp.isfinite(poly.xu) & ((poly.xu - x0) <= active_tol * scale)
+    x_start = jnp.where(at_lo, poly.xl, jnp.where(at_hi, poly.xu, x0))
+
+    from jax.scipy.linalg import solve_triangular
+
+    from ..ops.qr import qr_r, thin_qr
+
+    x, nu = x_start, jnp.zeros((p + m,), dtype)
+    RJ = Qw = Tw = free = None
+    sreg = jnp.sqrt(jnp.asarray(reg, dtype))
+    for k in range(max(refactor_steps, 1)):  # static unroll (see _factor_phase)
+        r = fns.residuals(x)
+        J = fns.jac_res(x)
+        c = fns.nlconstraints(x)
+        e = jnp.concatenate([c, A @ x - b], axis=0)    # (p+m,)
+
+        C = fns.jac_nlcons(x)
+        E = jnp.concatenate([C, A], axis=0)            # (p+m, n)
+        gL = J.T @ r + E.T @ nu
+        keep_lo = at_lo & (gL >= 0)
+        keep_hi = at_hi & (gL <= 0)
+        fixed = (at_lo | at_hi) if k == 0 else (keep_lo | keep_hi)
+        free = (~fixed).astype(dtype)
+
+        EZ = E * free[None, :]
+        JZ = J * free[None, :]
+        dbot = jnp.where(fixed, jnp.ones((), dtype), sreg)
+        RJ = qr_r(jnp.concatenate([JZ, jnp.diag(dbot)], axis=0))   # (n, n)
+        Wt = solve_triangular(RJ.T, EZ.T, lower=True)              # (n, p+m)
+        Qw, Tw = thin_qr(Wt)
+        rhs = -(free * (J.T @ r))
+        dx, dnu = _kkt_solve_qr(RJ, Qw, Tw, rhs, -e)
+        x = jnp.clip(x + dx * free, poly.xl, poly.xu)
+        nu = dnu
+    return x, nu, RJ, Qw, Tw, free
+
+
+def _chord_phase_qr(fns, poly: Polyhedron, x: Array, nu: Array, RJ: Array,
+                    Qw: Array, Tw: Array, free: Array, chord_steps: int,
+                    crit_tol: float, feas_tol: float):
+    """QR-factored twin of `_chord_phase`: frozen (RJ, Qw, Tw) solves with
+    the exact KKT residual in delta form (see `_chord_phase` on why the
+    incremental dual is load-bearing).  Returns the same tuple."""
+    A, b = poly.A, poly.b
+    p = nu.shape[0] - A.shape[0]
+
+    for _ in range(chord_steps):  # static unroll
+        r = fns.residuals(x)
+        J = fns.jac_res(x)
+        c = fns.nlconstraints(x)
+        C = fns.jac_nlcons(x)
+        e = jnp.concatenate([c, A @ x - b], axis=0)
+        gL = J.T @ r + jnp.concatenate([C, A], axis=0).T @ nu
+        dx, dnu = _kkt_solve_qr(RJ, Qw, Tw, -(free * gL), -e)
+        x = jnp.clip(x + dx * free, poly.xl, poly.xu)
+        nu = nu + dnu
+    y = nu[:p]
+
+    r = fns.residuals(x)
+    c = fns.nlconstraints(x)
+    gL = fns.jac_res(x).T @ r + fns.jac_nlcons(x).T @ y
+    from ..ops.polyproject import projection_polyhedron
+
+    pix = jnp.linalg.norm(projection_polyhedron(poly, x - gL) - x)
+    feas = jnp.sqrt(jnp.sum(c * c) + jnp.sum((A @ x - b) ** 2))
+    converged = (pix <= crit_tol) & (feas <= feas_tol)
+    return x, y, converged, pix, feas, 0.5 * jnp.vdot(r, r)
+
+
 def _chord_phase(fns, poly: Polyhedron, x: Array, nu: Array, lu: Array,
                  piv: Array, free: Array, chord_steps: int,
                  crit_tol: float, feas_tol: float):
@@ -179,16 +298,30 @@ def _chord_phase(fns, poly: Polyhedron, x: Array, nu: Array, lu: Array,
     return x, y, converged, pix, feas, 0.5 * jnp.vdot(r, r)
 
 
+def _resolve_kkt(kkt_factorization: str, dtype) -> str:
+    """"auto" → "qr" for f32/bf16 factor dtypes (where the LU of the
+    assembled normal-equations KKT has no κ² headroom), "lu" for f64."""
+    if kkt_factorization != "auto":
+        return kkt_factorization
+    low = jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+    return "qr" if low else "lu"
+
+
 def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: float,
                 reg: float, dual_reg: float, crit_tol: float, feas_tol: float,
-                refactor_steps: int = 2):
+                refactor_steps: int = 2, kkt: str = "lu"):
     """Polish a single instance (vmapped by the callers): factor phase
-    (refactorizing GN steps) + chord phase (frozen-LU steps) + certification,
-    all in the working dtype on one device.
+    (refactorizing GN steps) + chord phase (frozen-factor steps) +
+    certification, all in the working dtype on one device.  kkt selects
+    the factorization route: "lu" (assembled KKT) or "qr" (range-space).
 
     Returns (x, y, converged, pix, feas, objective).
     """
     rs = min(max(refactor_steps, 1), num_steps)
+    if kkt == "qr":
+        x, nu, RJ, Qw, Tw, free = _factor_phase_qr(fns, poly, x0, rs, active_tol, reg)
+        return _chord_phase_qr(fns, poly, x, nu, RJ, Qw, Tw, free, num_steps - rs,
+                               crit_tol, feas_tol)
     x, nu, lu, piv, free = _factor_phase(fns, poly, x0, rs, active_tol, reg, dual_reg)
     return _chord_phase(fns, poly, x, nu, lu, piv, free, num_steps - rs,
                         crit_tol, feas_tol)
@@ -196,7 +329,7 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
 
 @functools.lru_cache(maxsize=128)
 def _polish_runner(fns_key, poly_axes_key, num_steps, active_tol, reg, dual_reg,
-                   crit_tol, feas_tol, refactor_steps):
+                   crit_tol, feas_tol, refactor_steps, kkt="lu"):
     residuals, nlconstraints, jac_res, jac_nlcons = fns_key
 
     def one(theta_i, x0_i, poly_i):
@@ -211,7 +344,7 @@ def _polish_runner(fns_key, poly_axes_key, num_steps, active_tol, reg, dual_reg,
         # (no-op on CPU, where the polish runs by default).
         with jax.default_matmul_precision("highest"):
             return _polish_one(fns, poly_i, x0_i, num_steps, active_tol, reg,
-                               dual_reg, crit_tol, feas_tol, refactor_steps)
+                               dual_reg, crit_tol, feas_tol, refactor_steps, kkt)
 
     return jax.jit(jax.vmap(one, in_axes=(0, 0, Polyhedron(*poly_axes_key))))
 
@@ -226,6 +359,7 @@ def sqp_polish(
     reg: float = 0.0,
     dual_reg: float = 1e-14,
     refactor_steps: int = 2,
+    kkt_factorization: str = "auto",
 ):
     """Batched fixed-active-set SQP polish of warm starts X0.
 
@@ -241,7 +375,8 @@ def sqp_polish(
     poly_axes = poly_batch_axes(poly)
     fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
     run = _polish_runner(fns_key, poly_axes, num_steps, active_tol, reg, dual_reg,
-                         float(opts.crit_tol), float(opts.feas_tol), refactor_steps)
+                         float(opts.crit_tol), float(opts.feas_tol), refactor_steps,
+                         _resolve_kkt(kkt_factorization, dtype))
     return run(theta, X0, poly)
 
 
@@ -273,6 +408,52 @@ def _factor_runner(fns_key, poly_axes_key, refactor_steps, active_tol, reg, dual
         return flat, piv
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=128)
+def _factor_runner_qr(fns_key, poly_axes_key, refactor_steps, active_tol, reg):
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+
+    def one(theta_i, x0_i, poly_i):
+        fns = BatchedProblem(
+            residuals=residuals, nlconstraints=nlconstraints,
+            jac_res=jac_res, jac_nlcons=jac_nlcons,
+        ).instance_fns(theta_i)
+        with jax.default_matmul_precision("highest"):
+            return _factor_phase_qr(fns, poly_i, x0_i, refactor_steps, active_tol, reg)
+
+    def run(theta, X0, poly):
+        x, nu, RJ, Qw, Tw, free = jax.vmap(
+            one, in_axes=(0, 0, Polyhedron(*poly_axes_key))
+        )(theta, X0, poly)
+        # One flat f32 buffer, same rationale as _factor_runner.
+        flat = jnp.concatenate(
+            [a.reshape(a.shape[0], -1) for a in (x, nu, RJ, Qw, Tw, free)], axis=1
+        )
+        return flat
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=128)
+def _chord_runner_qr(fns_key, poly_axes_key, chord_steps, crit_tol, feas_tol):
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+
+    def one(theta_i, x_i, nu_i, RJ_i, Qw_i, Tw_i, free_i, poly_i):
+        fns = BatchedProblem(
+            residuals=residuals, nlconstraints=nlconstraints,
+            jac_res=jac_res, jac_nlcons=jac_nlcons,
+        ).instance_fns(theta_i)
+        # Bound-snap as in _chord_runner (fixed coords arrive f32-rounded).
+        fixedm = free_i == 0
+        lo_near = jnp.abs(x_i - poly_i.xl) <= jnp.abs(poly_i.xu - x_i)
+        x_i = jnp.where(fixedm & jnp.isfinite(poly_i.xl) & lo_near, poly_i.xl, x_i)
+        x_i = jnp.where(fixedm & jnp.isfinite(poly_i.xu) & ~lo_near, poly_i.xu, x_i)
+        with jax.default_matmul_precision("highest"):
+            return _chord_phase_qr(fns, poly_i, x_i, nu_i, RJ_i, Qw_i, Tw_i,
+                                   free_i, chord_steps, crit_tol, feas_tol)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, Polyhedron(*poly_axes_key))))
 
 
 @functools.lru_cache(maxsize=128)
@@ -311,6 +492,7 @@ def sqp_polish_split(
     reg: float = 0.0,
     dual_reg: float = 1e-14,
     refactor_steps: int = 2,
+    kkt_factorization: str = "auto",
 ):
     """Device-factored SQP polish: f32 factor phase where X32 lives (the
     TPU after the bulk solve), f64 chord phase on host with the promoted
@@ -321,19 +503,29 @@ def sqp_polish_split(
     chord step in f64.  Accuracy comes from the f64 residuals (certified
     with the exact-projection oracle exactly as `sqp_polish`); an
     ill-conditioned instance whose f32 factor cannot contract simply fails
-    certification and takes the standard fallback.
+    certification and takes the standard fallback.  The default f32
+    factorization is the range-space QR (`_factor_phase_qr`): its
+    contraction factor is O(κ(J)·eps(f32)) where the assembled-KKT LU's
+    is O(κ(J)²·eps(f32)) — measured on the κ=1e4 ill-conditioned family,
+    the LU split certifies 0/8 while QR matches the all-f64 polish.
 
     Returns (X, Y, converged, pix, feas, objective) in f64 on host.
     """
     n = X32.shape[-1]
     opts = options.resolve_tols(jnp.dtype(jnp.float64))
+    kkt = _resolve_kkt(kkt_factorization, X32.dtype)
     from .vmap_solve import poly_batch_axes
 
     poly32 = bp32.polyhedron(n, jnp.float32)
     fns_key32 = (bp32.residuals, bp32.nlconstraints, bp32.jac_res, bp32.jac_nlcons)
     rs = min(max(refactor_steps, 1), num_steps)
-    fr = _factor_runner(fns_key32, poly_batch_axes(poly32), rs, active_tol, reg, dual_reg)
-    flat32, piv = fr(theta32, X32, poly32)
+    piv = None
+    if kkt == "qr":
+        fr = _factor_runner_qr(fns_key32, poly_batch_axes(poly32), rs, active_tol, reg)
+        flat32 = fr(theta32, X32, poly32)
+    else:
+        fr = _factor_runner(fns_key32, poly_batch_axes(poly32), rs, active_tol, reg, dual_reg)
+        flat32, piv = fr(theta32, X32, poly32)
 
     # Static output shapes: p via eval_shape (no device compute), m from A.
     B = X32.shape[0]
@@ -342,13 +534,17 @@ def sqp_polish_split(
     p = jax.eval_shape(
         fns0.nlconstraints, jax.ShapeDtypeStruct((n,), jnp.float64)
     ).shape[0]
-    kk = n + p + m
-    shapes = ((B, n), (B, p + m), (B, kk, kk), (B, n))
+    q = p + m
+    if kkt == "qr":
+        # x, nu, RJ, Qw, Tw, free
+        shapes = ((B, n), (B, q), (B, n, n), (B, n, q), (B, q, q), (B, n))
+    else:
+        kk = n + q
+        shapes = ((B, n), (B, q), (B, kk, kk), (B, n))
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         flat_h = np.asarray(flat32)          # ONE D2H pull of the f32 payload
-        piv_h = jnp.asarray(np.asarray(piv))
         parts, off = [], 0
         for shp in shapes:
             size = int(np.prod(shp[1:]))
@@ -356,10 +552,16 @@ def sqp_polish_split(
                 jnp.asarray(flat_h[:, off:off + size].reshape(shp), jnp.float64)
             )
             off += size
-        x, nu, lu, free = parts
 
         poly64 = bp64.polyhedron(n, jnp.float64)
         fns_key64 = (bp64.residuals, bp64.nlconstraints, bp64.jac_res, bp64.jac_nlcons)
+        if kkt == "qr":
+            x, nu, RJ, Qw, Tw, free = parts
+            cr = _chord_runner_qr(fns_key64, poly_batch_axes(poly64), num_steps,
+                                  float(opts.crit_tol), float(opts.feas_tol))
+            return cr(theta64, x, nu, RJ, Qw, Tw, free, poly64)
+        x, nu, lu, free = parts
+        piv_h = jnp.asarray(np.asarray(piv))
         cr = _chord_runner(fns_key64, poly_batch_axes(poly64), num_steps,
                            float(opts.crit_tol), float(opts.feas_tol))
         return cr(theta64, x, nu, lu, piv_h, free, poly64)
@@ -380,6 +582,7 @@ def polish_then_refine(
     bp32: Optional[BatchedProblem] = None,
     theta32=None,
     split: str = "auto",
+    kkt_factorization: str = "auto",
 ) -> Tuple[Array, Array, SolveInfo]:
     """f64 certification phase: SQP polish + full-refine fallback.
 
@@ -442,12 +645,13 @@ def polish_then_refine(
                 bp32, theta32, X32, bp64, theta64, options,
                 num_steps=num_steps, active_tol=active_tol,
                 refactor_steps=refactor_steps,
+                kkt_factorization=kkt_factorization,
             )
         else:
             X64 = f64(put(X32))
             X, Y, ok, pix, feas, obj = sqp_polish(
                 bp64, theta64, X64, options, num_steps=num_steps, active_tol=active_tol,
-                refactor_steps=refactor_steps,
+                refactor_steps=refactor_steps, kkt_factorization=kkt_factorization,
             )
         ok_h = np.asarray(ok)
         for _ in range(rounds - 1):
@@ -455,7 +659,7 @@ def polish_then_refine(
                 break
             X2, Y2, ok2, pix2, feas2, obj2 = sqp_polish(
                 bp64, theta64, X, options, num_steps=num_steps, active_tol=active_tol,
-                refactor_steps=refactor_steps,
+                refactor_steps=refactor_steps, kkt_factorization=kkt_factorization,
             )
             # Take the re-polished state for every instance that was not
             # yet certified — certified or not.  Keeping only the certified

@@ -40,12 +40,21 @@ class AlHessian(NamedTuple):
     (n, n) operator whose per-iteration HBM traffic is ~2(d+p)/n times
     smaller — the dominant cost at config-3/4 scale where CG is
     bandwidth-bound, not flop-bound.
+
+    Alternatively carries the triangular factor R from a thin QR of the
+    stacked matrix S = [J; sqrt(mu)·C] (see `with_r_factor`): RᵀR = SᵀS
+    = H exactly, same (n, n) per-iteration traffic as the Gram mode, but
+    R is accurate to κ(S)·eps where forming G rounds away everything
+    below κ(S)²·eps — the difference between converging and stalling for
+    the f32 bulk phase on ill-conditioned Jacobians (the BASELINE
+    north-star "QR+PCG" path).
     """
 
     J: Array    # (d, n) residual Jacobian
     C: Array    # (p, n) nonlinear-constraint Jacobian (p may be 0)
     mu: Array   # scalar penalty parameter
     G: Array | None = None   # optional (n, n) Gram matrix JᵀJ + mu CᵀC
+    R: Array | None = None   # optional (k, n) QR factor of [J; sqrt(mu)·C]
 
 
 def al_value(rx: Array, cx: Array, y: Array, mu: Array) -> Array:
@@ -69,13 +78,35 @@ def with_gram(H: AlHessian) -> AlHessian:
     return AlHessian(H.J, H.C, H.mu, G)
 
 
+def with_r_factor(H: AlHessian) -> AlHessian:
+    """Materialize R from a thin QR of S = [J; sqrt(mu)·C] into the operator.
+
+    The orthogonal-factorization alternative to `with_gram` (BASELINE
+    north-star "batched QR/Gauss-Newton factorizations"): H = RᵀR with R
+    computed by QR, so no intermediate ever carries κ(S)².  Costs ~2-4x
+    the Gram GEMM per Jacobian refresh (blocked Householder vs one
+    matmul) — amortized over the CG iterations that reuse the operator.
+    Under vmap, small-column instances route to the Pallas MGS kernel
+    (ops/qr.py).
+    """
+    dtype = H.J.dtype
+    S = jnp.concatenate([H.J, jnp.sqrt(H.mu).astype(dtype) * H.C], axis=0)
+    from .qr import qr_r
+
+    return AlHessian(H.J, H.C, H.mu, None, qr_r(S))
+
+
 def hv(H: AlHessian, v: Array) -> Array:
     """Matrix-free H @ v = Jᵀ(Jv) + mu Cᵀ(Cv)  (ref `src/basic_tralcnlss.jl:102-106`).
 
     Two GEMV pairs; under vmap these become batched GEMMs on the MXU, and in
     the row-sharded large-instance mode the Jᵀ(Jv) contraction carries a psum.
-    With a materialized Gram matrix (see `with_gram`), one (n,n) GEMV.
+    With a materialized Gram matrix (see `with_gram`), one (n,n) GEMV; with
+    a QR factor (see `with_r_factor`), the pair Rᵀ(Rv) — same traffic, κ
+    instead of κ² rounding.
     """
+    if H.R is not None:
+        return H.R.T @ (H.R @ v)
     if H.G is not None:
         return H.G @ v
     return H.J.T @ (H.J @ v) + H.mu * (H.C.T @ (H.C @ v))
@@ -84,11 +115,14 @@ def hv(H: AlHessian, v: Array) -> Array:
 def vhv(H: AlHessian, v: Array) -> Array:
     """Quadratic form vᵀHv = ‖Jv‖² + mu ‖Cv‖²  (ref `src/basic_tralcnlss.jl:92-96`).
 
-    The factored form is nonnegative by construction; the Gram form
-    vᵀ(Gv) can round to a tiny negative near vᵀHv ≈ 0, so consumers test
-    curvature against scale-relative tolerances (solver/cg.py), never
+    The factored and QR forms are nonnegative by construction; the Gram
+    form vᵀ(Gv) can round to a tiny negative near vᵀHv ≈ 0, so consumers
+    test curvature against scale-relative tolerances (solver/cg.py), never
     against exact zero.
     """
+    if H.R is not None:
+        Rv = H.R @ v
+        return jnp.vdot(Rv, Rv)
     if H.G is not None:
         return jnp.vdot(v, H.G @ v)
     Jv = H.J @ v

@@ -155,3 +155,56 @@ def dense_quadratic_family(
     x0 = np.clip(x0, -0.79, 0.79)
     X0 = jnp.asarray(np.broadcast_to(x0, (B, n)).copy(), dtype)
     return bp, theta, X0
+
+
+def ill_conditioned_family(
+    B: int,
+    n: int = 96,
+    d: int = 384,
+    m: int = 3,
+    kappa: float = 1e4,
+    seed: int = 0,
+    dtype=jnp.float64,
+) -> Tuple[BatchedProblem, dict, Array]:
+    """Config-3 shape with a controlled Jacobian condition number.
+
+    Same structure as `dense_quadratic_family` but J has geometrically
+    decaying singular values sigma_i = kappa^{-i/(n-1)} — the regime where
+    the normal-equations operator loses: forming JᵀJ (or CCᵀ) rounds away
+    everything below kappa²·eps, so at kappa ≳ 3e3 an f32 Gram pass has no
+    signal left while the QR route (gn_factorization="qr") keeps
+    kappa·eps ≈ 1e-3 relative accuracy.  The targets are consistent
+    (y = J x_true + small noise) so the GN step is well-posed despite the
+    conditioning.
+    """
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.standard_normal((d, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    sv = kappa ** (-np.arange(n) / (n - 1))
+    J = (U * sv[None, :]) @ V.T
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    x_true = rng.standard_normal((B, n))
+    y = x_true @ J.T + 1e-6 * rng.standard_normal((B, d))
+    b = x_true[0] @ A.T
+
+    theta = {"y": jnp.asarray(y, dtype)}
+    Jj = jnp.asarray(J, dtype)
+
+    def residuals(x, th):
+        return Jj.astype(x.dtype) @ x - th["y"]
+
+    def jac_res(x, th):
+        return Jj.astype(x.dtype)
+
+    bp = BatchedProblem(
+        residuals=residuals,
+        jac_res=jac_res,
+        A=jnp.asarray(A, dtype),
+        b=jnp.asarray(b, dtype),
+        xl=jnp.full((n,), -3.0, dtype),
+        xu=jnp.full((n,), 3.0, dtype),
+    )
+    AAt = A @ A.T
+    x0 = A.T @ np.linalg.solve(AAt, b)
+    X0 = jnp.asarray(np.broadcast_to(np.clip(x0, -2.9, 2.9), (B, n)).copy(), dtype)
+    return bp, theta, X0

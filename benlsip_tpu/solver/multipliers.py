@@ -15,16 +15,30 @@ from ..ops.cholesky import cho_solve_lower
 Array = jax.Array
 
 
-def least_squares_multipliers(x: Array, residuals, jac_res, jac_nlcons) -> Array:
-    """Initial estimate y = -(CCᵀ)⁻¹ C (Jᵀ r) via Cholesky of CCᵀ
-    (ref `src/basic_tralcnlss.jl:887-903`)."""
+def least_squares_multipliers(
+    x: Array, residuals, jac_res, jac_nlcons, method: str = "qr"
+) -> Array:
+    """Initial estimate y = argmin_y ‖Cᵀ y + Jᵀ r‖ (the least-squares
+    multipliers; ref `src/basic_tralcnlss.jl:887-903`).
+
+    method="normal" is the reference's algebra — Cholesky of CCᵀ, i.e.
+    y = -(CCᵀ)⁻¹ C (Jᵀ r) — which squares κ(C).  method="qr" (default;
+    SolverOptions.gn_factorization) factors Cᵀ = QR (thin, p columns —
+    the Pallas MGS kernel's design point under vmap) and solves the
+    triangular system R y = -Qᵀ(Jᵀ r): identical solution, κ(C)-accurate.
+    """
     g = jac_res(x).T @ residuals(x)
     C = jac_nlcons(x)
     p = C.shape[0]
     if p == 0:
         return jnp.zeros((0,), dtype=x.dtype)
-    L = jnp.linalg.cholesky(C @ C.T)
-    return cho_solve_lower(L, -(C @ g))
+    if method == "normal":
+        L = jnp.linalg.cholesky(C @ C.T)
+        return cho_solve_lower(L, -(C @ g))
+    from ..ops.qr import thin_qr
+
+    Q, R = thin_qr(C.T)
+    return jax.scipy.linalg.solve_triangular(R, -(Q.T @ g), lower=False)
 
 
 def first_order_multipliers(y: Array, cx: Array, mu: Array) -> Array:

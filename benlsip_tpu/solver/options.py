@@ -81,6 +81,17 @@ class SolverOptions:
     # the Jacobian's conditioning, which the f32 bulk phase of the
     # mixed-precision pipeline has no accuracy headroom for at default
     # tolerances (the f64 phases are indifferent).
+    gn_factorization: str = "auto"
+    # "normal"/"qr"/"auto": HOW the materialized (n,n) Hessian operator is
+    # built when `gram_hessian` turns materialization on.  "normal" forms
+    # the Gram matrix G = JᵀJ + mu CᵀC (one GEMM, but everything below
+    # κ(J)²·eps rounds away); "qr" takes the thin-QR factor R of
+    # [J; sqrt(mu)C] (RᵀR = G exactly, accurate to κ(J)·eps, ~2-4x the
+    # refresh flops) — the BASELINE north-star "QR+PCG" route.  "auto"
+    # picks "qr" for f32/bf16 working dtypes (where κ² eats the entire
+    # accuracy budget: eps(f32)·κ² > 1 already at κ ~ 3e3) and "normal"
+    # for f64.  Also selects the multiplier estimate's algebra
+    # (solver/multipliers.py): QR of Cᵀ vs Cholesky of CCᵀ (ref :897-901).
     tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
     chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
     verbose: bool = False        # iteration log via host callback (the

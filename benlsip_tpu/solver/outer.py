@@ -86,7 +86,10 @@ def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCa
     cx0 = fns.nlconstraints(x0)
     mu0 = jnp.asarray(opts.mu0, dtype)
     omega0, eta0 = initial_tolerances(mu0, opts.omega0, opts.eta0, opts.k_crit, opts.k_feas)
-    y0 = least_squares_multipliers(x0, fns.residuals, fns.jac_res, fns.jac_nlcons)
+    y0 = least_squares_multipliers(
+        x0, fns.residuals, fns.jac_res, fns.jac_nlcons,
+        method="normal" if opts.gn_factorization == "normal" else "qr",
+    )
     return OuterCarry(
         x=x0,
         y=y0,

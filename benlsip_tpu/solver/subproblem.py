@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.al import AlHessian, al_gradient, evaluate_al, new_point, with_gram
+from ..ops.al import AlHessian, al_gradient, evaluate_al, new_point, with_gram, with_r_factor
 from ..ops.constraints import ActiveSet, Polyhedron
 from ..ops.polyproject import projection_polyhedron
 from ..ops.project import norm_reduced_gradient
@@ -113,17 +113,22 @@ def solve_subproblem(
     rx0, cx0, _, mx0, g0, H0 = new_point(
         x0, y, mu, fns.residuals, fns.nlconstraints, fns.jac_res, fns.jac_nlcons
     )
-    # Static (shape-based) decision: materialize the Gram operator when the
+    # Static (shape-based) decision: materialize an (n,n) operator when the
     # Jacobian is tall enough that streaming it per H·v dominates (see
-    # SolverOptions.gram_hessian).  Both while-loop branches below then
-    # carry the same pytree structure.
+    # SolverOptions.gram_hessian), built either as the Gram matrix or as
+    # the QR factor R per SolverOptions.gn_factorization.  Both while-loop
+    # branches below then carry the same pytree structure.
     n = x0.shape[0]
     d_plus_p = rx0.shape[0] + cx0.shape[0]
-    use_gram = opts.gram_hessian == "on" or (
+    use_op = opts.gram_hessian == "on" or (
         opts.gram_hessian == "auto" and n >= 64 and d_plus_p >= 2 * n
     )
-    if use_gram:
-        H0 = with_gram(H0)
+    use_qr = opts.gn_factorization == "qr" or (
+        opts.gn_factorization == "auto"
+        and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+    )
+    materialize = (lambda H: with_r_factor(H) if use_qr else with_gram(H)) if use_op else (lambda H: H)
+    H0 = materialize(H0)
     delta0 = initial_tr(g0, opts.tr_factor)
 
     c0 = _TRCarry(
@@ -194,9 +199,7 @@ def solve_subproblem(
             Cn = fns.jac_nlcons(x_next)
             y_bar = y + mu * cx_next
             gn = al_gradient(Jn, Cn, rx_next, y_bar)
-            Hn = AlHessian(Jn, Cn, mu)
-            if use_gram:
-                Hn = with_gram(Hn)
+            Hn = materialize(AlHessian(Jn, Cn, mu))
             return gn, Hn
 
         def keep(_):
