@@ -1,6 +1,6 @@
 """Benchmark harness: batched constrained-NLS throughput to f64 KKT grade,
-vs a sequential per-instance CPU loop standing in for the reference's
-single-core execution model.
+vs a tight single-core CPU baseline standing in for the reference's
+execution model.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "problems/sec", "vs_baseline": N, ...}
@@ -14,9 +14,15 @@ converge to the f64 tolerance sqrt(eps) ≈ 1.49e-8 — the reference's own
 "solved" definition, making the comparison KKT-comparable.
 
 The reference (BEnlsip.jl) publishes no numbers and Julia is not installed
-in this image (BASELINE.md), so the baseline is the same solver run
-sequentially one instance at a time in f64 on CPU — the reference's
-execution model — measured in the same process.
+in this image (BASELINE.md), so `vs_baseline` is measured against a tight
+hand-coded single-core numpy solver of the same workload certified by the
+same exact-projection KKT oracle (benlsip_tpu/baselines/numpy_ref.py) —
+dense direct linear algebra, dynamic shapes, zero framework dispatch: the
+way a performance-aware user of the reference would write it.  Two
+secondary ratios are co-reported per VERDICT round 1: the same JAX solver
+run sequentially one instance at a time (the round-1 "baseline", now
+demoted), and this framework's own CPU-batched pipeline (the strongest
+single-host alternative).
 """
 from __future__ import annotations
 
@@ -64,6 +70,30 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
     return min(walls), conv, walls
 
 
+def _time_numpy_baseline(theta, b_all, X0, k):
+    """Tight single-core numpy solve of k instances (the measured baseline).
+
+    numpy is single-threaded here for small (32x3) shapes (OpenBLAS kicks in
+    threads only far above this size), matching "single-core Julia" in
+    BASELINE.md's target definition.
+    """
+    import numpy as np
+
+    from benlsip_tpu.baselines.numpy_ref import solve_exp_fit_numpy
+
+    t_np = np.asarray(theta["t"][:k])
+    y_np = np.asarray(theta["y"][:k])
+    b_np = np.asarray(b_all[:k])
+    X0_np = np.asarray(X0[:k])
+    A_np = np.array([[1.0, 0.0, 1.0]])
+    xl = np.array([-10.0, 0.05, -10.0])
+    xu = np.array([10.0, 5.0, 10.0])
+    t0 = time.perf_counter()
+    _, conv = solve_exp_fit_numpy(t_np, y_np, A_np, b_np, xl, xu, X0_np)
+    dt = time.perf_counter() - t0
+    return dt, conv
+
+
 def _time_sequential_cpu(bp, theta, X0, opts, k):
     """Sequential per-instance solves on CPU (the reference's model)."""
     from benlsip_tpu.batch.vmap_solve import solve_sequential
@@ -96,9 +126,22 @@ def main():
     dt_b, conv_b, walls = _time_pipeline(bp, theta, X0, opts, dev)
     rate = conv_b / dt_b
 
+    # Primary baseline: tight single-core numpy (the reference's execution
+    # model, measured — VERDICT round 1 item 3).
+    k_np = 64
+    dt_np, conv_np = _time_numpy_baseline(theta, bp.b, X0, k_np)
+    np_rate = max(conv_np, 1) / dt_np
+
+    # Secondary: this framework's own pipeline with the bulk phase on CPU —
+    # the strongest single-host alternative actually available.
+    cpu = jax.devices("cpu")[0]
+    dt_c, conv_c, _ = _time_pipeline(bp, theta, X0, opts, cpu)
+    cpu_rate = conv_c / dt_c
+
+    # Secondary: the round-1 strawman (JAX solver one instance at a time).
     k = 8
     dt_s, conv_s = _time_sequential_cpu(bp, theta, X0, opts, k)
-    base_rate = max(conv_s, 1) / dt_s
+    seq_rate = max(conv_s, 1) / dt_s
 
     print(
         json.dumps(
@@ -106,13 +149,18 @@ def main():
                 "metric": "constrained-NLS problems solved/sec to f64 KKT tol 1.5e-8 (config-2 suite; f32 bulk + f64 refine)",
                 "value": round(rate, 2),
                 "unit": "problems/sec",
-                "vs_baseline": round(rate / base_rate, 2),
+                "vs_baseline": round(rate / np_rate, 2),
                 "batch": B,
                 "converged_frac": round(conv_b / B, 4),
                 "pipeline_wall_s": round(dt_b, 3),
                 "pipeline_walls_all_reps_s": [round(w, 3) for w in walls],
-                "baseline": "sequential per-instance f64 CPU loop (Julia unavailable; see BASELINE.md)",
-                "baseline_rate": round(base_rate, 3),
+                "baseline": "tight single-core numpy AL-LM solver, same workload + KKT oracle (Julia unavailable; see BASELINE.md)",
+                "baseline_rate": round(np_rate, 2),
+                "baseline_converged_frac": round(conv_np / k_np, 4),
+                "self_cpu_batched_rate": round(cpu_rate, 2),
+                "vs_self_cpu_batched": round(rate / cpu_rate, 2),
+                "sequential_jax_rate": round(seq_rate, 3),
+                "vs_sequential_jax": round(rate / seq_rate, 2),
                 "device": str(dev),
             }
         )
