@@ -90,6 +90,7 @@ def projected_cg(
     aset: ActiveSet,
     kappa2: float,
     atol: float | None = None,
+    unroll_limit: int | None = None,
 ) -> Tuple[Array, Array]:
     """Projected CG with bound-hit / negative-curvature early exits.
 
@@ -207,5 +208,5 @@ def projected_cg(
     )
     # Static trip bound 2(n - m) ≥ the dynamic cap 2(n - m - #fix) (ref :714);
     # small problems run the CG fully unrolled with masked lanes.
-    out = run_bounded(cond, body, c0, max_trips=2 * (n - m))
+    out = run_bounded(cond, body, c0, max_trips=2 * (n - m), unroll_limit=unroll_limit)
     return out.w, out.status

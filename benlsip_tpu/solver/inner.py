@@ -75,6 +75,7 @@ def cauchy_step(
     delta: Array,
     atol: float,
     chol_reg: float = 0.0,
+    unroll_limit: int | None = None,
 ) -> Tuple[Array, ActiveSet]:
     """First local minimum of the model along the projected-gradient path.
 
@@ -162,7 +163,7 @@ def cauchy_step(
 
     # Trip bound: one bound fixed per segment, at most n - m segments
     # (ref :615); tiny for the batched-small regime -> unrolled masked loop.
-    out = run_bounded(cond, body, c0, max_trips=n - m)
+    out = run_bounded(cond, body, c0, max_trips=n - m, unroll_limit=unroll_limit)
     return out.s, ActiveSet(fixed=out.fixed, chol=out.chol)
 
 
@@ -175,6 +176,7 @@ def minor_iterate(
     aset: ActiveSet,
     delta: Array,
     kappa2: float,
+    unroll_limit: int | None = None,
 ) -> Tuple[Array, Array]:
     """One minor iteration: projected-CG direction + model linesearch.
 
@@ -194,7 +196,9 @@ def minor_iterate(
     w_u = jnp.maximum(w_u, 0.0)
     w_l = jnp.minimum(w_l, 0.0)
 
-    w, cg_status = projected_cg(g_minor, H, w_l, w_u, poly, aset, kappa2)
+    w, cg_status = projected_cg(
+        g_minor, H, w_l, w_u, poly, aset, kappa2, unroll_limit=unroll_limit
+    )
 
     # ref :669-672: linesearch unless negative curvature terminated CG.
     alpha = linesearch(g_minor, H, w, w_l, w_u, aset.fixed)
@@ -266,11 +270,6 @@ def cauchy_step_projected(
     return s, make_active_set(poly, fixed, reg=chol_reg)
 
 
-# Problem size above which the projected-search Cauchy replaces the
-# one-bound-per-segment breakpoint walk.
-PROJECTED_CAUCHY_THRESHOLD = 32
-
-
 class _MinorCarry(NamedTuple):
     s: Array
     g_minor: Array
@@ -287,11 +286,8 @@ def inner_step(
     H: AlHessian,
     poly: Polyhedron,
     delta: Array,
-    max_minor_iter: int,
-    kappa2: float,
-    kappa3: float,
+    opts,
     atol: float,
-    chol_reg: float = 0.0,
 ) -> Tuple[Array, Array, ActiveSet]:
     """Cauchy step + active-set refinement minor iterations.
 
@@ -299,23 +295,34 @@ def inner_step(
     no-op `max(n-m-nb_fix)` (quirk 1) as max(n-m-#fix, 0).  Returns
     (s, model_reduction, final_active_set); the model reduction
     pred = gᵀs + 1/2 sᵀHs is negative for improvement (ref :458, quirk 7).
+
+    `opts` is the SolverOptions config contract (SURVEY.md §5): this is
+    where kappa1/gamma_c/cauchy_max_trials (projected Cauchy),
+    kappa2 (CG), kappa3/max_minor_iter (minor loop), chol_reg,
+    projected_cauchy_threshold, and unroll_limit all bind.
     """
     n = x.shape[0]
     m = poly.A.shape[0]
+    chol_reg = opts.chol_reg
+    ul = opts.unroll_limit
 
-    if n - m > PROJECTED_CAUCHY_THRESHOLD:
-        s0, aset0 = cauchy_step_projected(x, g, H, poly, delta, atol, chol_reg=chol_reg)
+    if n - m > opts.projected_cauchy_threshold:
+        s0, aset0 = cauchy_step_projected(
+            x, g, H, poly, delta, atol,
+            kappa1=opts.kappa1, gamma_c=opts.gamma_c,
+            max_trials=opts.cauchy_max_trials, chol_reg=chol_reg,
+        )
     else:
-        s0, aset0 = cauchy_step(x, g, H, poly, delta, atol, chol_reg)
+        s0, aset0 = cauchy_step(x, g, H, poly, delta, atol, chol_reg, unroll_limit=ul)
     g_minor0 = hv(H, s0) + g
 
     nrg0 = norm_reduced_gradient(poly, aset0, g)
     nrgm0 = norm_reduced_gradient(poly, aset0, g_minor0)
-    approx_solved0 = nrgm0 <= kappa3 * nrg0
+    approx_solved0 = nrgm0 <= opts.kappa3 * nrg0
 
     # ref :425-426 with quirk-1 fix; computed once from the post-Cauchy set.
     allowed = jnp.maximum(n - m - nb_fix(aset0), 0)
-    max_minor = jnp.minimum(max_minor_iter, allowed)
+    max_minor = jnp.minimum(opts.max_minor_iter, allowed)
 
     c0 = _MinorCarry(
         s=s0,
@@ -332,7 +339,9 @@ def inner_step(
 
     def body(c: _MinorCarry):
         aset = ActiveSet(fixed=c.fixed, chol=c.chol)
-        w, cg_status = minor_iterate(x, c.s, c.g_minor, H, poly, aset, delta, kappa2)
+        w, cg_status = minor_iterate(
+            x, c.s, c.g_minor, H, poly, aset, delta, opts.kappa2, unroll_limit=ul
+        )
         cg_stop = cg_status == CG_NEGATIVE_CURVATURE
         s = c.s + w
         g_minor = hv(H, s) + g
@@ -349,7 +358,7 @@ def inner_step(
 
         nrg = norm_reduced_gradient(poly, aset_next, g)
         nrgm = norm_reduced_gradient(poly, aset_next, g_minor)
-        approx_solved = jnp.where(fits, nrgm <= kappa3 * nrg, True)
+        approx_solved = jnp.where(fits, nrgm <= opts.kappa3 * nrg, True)
 
         return _MinorCarry(
             s=s,
@@ -361,6 +370,6 @@ def inner_step(
             cg_stop=cg_stop,
         )
 
-    out = run_bounded(cond, body, c0, max_trips=min(max_minor_iter, n - m))
+    out = run_bounded(cond, body, c0, max_trips=min(opts.max_minor_iter, n - m), unroll_limit=ul)
     pred = jnp.vdot(g, out.s) + 0.5 * vhv(H, out.s)  # ref :458
     return out.s, pred, ActiveSet(fixed=out.fixed, chol=out.chol)

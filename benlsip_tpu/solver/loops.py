@@ -19,14 +19,6 @@ from jax import lax
 
 T = TypeVar("T")
 
-# Trip-count threshold below which masked unrolling replaces while_loop.
-# Default 0 (= always while_loop): on the tunnel-attached v5e the unrolled
-# programs compiled ~18x slower for at-best-parity warm throughput
-# (0.094s vs 0.099s per 1024-instance chunk).  Raise to ~24 to opt in on
-# hardware where compile time is cheap or programs are reused for long
-# sweeps; tests/test_loops.py keeps both strategies parity-checked.
-UNROLL_LIMIT = 0
-
 
 def run_bounded(
     cond: Callable[[T], jax.Array],
@@ -37,14 +29,19 @@ def run_bounded(
 ) -> T:
     """while(cond) body, with trip count statically bounded by max_trips.
 
-    For small static bounds the loop is fully unrolled with masking:
-    `body` must be safe to evaluate on an already-finished carry (all our
-    loop bodies are where-select state machines, so they are).
-    `unroll_limit=None` reads the module global at call time (tests set it
-    to 0 for fast CPU compiles; the TPU bench path keeps the default).
+    For small static bounds (max_trips ≤ unroll_limit) the loop is fully
+    unrolled with masking: `body` must be safe to evaluate on an
+    already-finished carry (all our loop bodies are where-select state
+    machines, so they are).  The threshold is plumbed from
+    `SolverOptions.unroll_limit` (compiled-program identity belongs in the
+    config contract, not module state); None/0 means always while_loop —
+    on the tunnel-attached v5e the unrolled programs compiled ~18x slower
+    for at-best-parity warm throughput (0.094s vs 0.099s per
+    1024-instance chunk); ~24 pays off where programs are reused for long
+    sweeps.  tests/test_loops.py keeps both strategies parity-checked.
     """
     if unroll_limit is None:
-        unroll_limit = UNROLL_LIMIT
+        unroll_limit = 0
     max_trips = int(max_trips)
     if max_trips <= 0:
         return init

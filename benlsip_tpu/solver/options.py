@@ -42,9 +42,17 @@ class SolverOptions:
     gamma_c: float = 10.0        # legacy Cauchy expansion factor (ref :191)
 
     # Inner/CG tolerances (ref :192-194)
-    kappa1: float = 1e-2         # legacy Cauchy sufficient-decrease fraction
+    kappa1: float = 1e-2         # projected-Cauchy sufficient-decrease fraction
     kappa2: float = 0.1          # CG relative tolerance
     kappa3: float = 0.1          # minor-loop reduced-gradient fraction
+    cauchy_max_trials: int = 16  # projected-Cauchy backtracking trial cap
+                                 # (the reference's expansion/backtracking
+                                 # loop cap, ref :481-496)
+    projected_cauchy_threshold: int = 32
+    # Free-dimension count (n - m) above which the projected-search Cauchy
+    # step (one exact projection activates any number of bounds) replaces
+    # the reference's one-bound-per-segment breakpoint walk (ref :615-637),
+    # whose sequential trip count grows with the active set.
 
     # Iteration caps (ref :195-197)
     max_outer_iter: int = 500
@@ -94,6 +102,14 @@ class SolverOptions:
     # (solver/multipliers.py): QR of Cᵀ vs Cholesky of CCᵀ (ref :897-901).
     tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
     chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
+    unroll_limit: int = 0
+    # Static trip-count threshold below which the bounded inner loops
+    # (Cauchy walk, projected CG, minor iterations) compile as masked
+    # straight-line code instead of lax.while_loop (solver/loops.py).
+    # 0 = always while_loop: on the tunnel-attached v5e the unrolled
+    # programs compiled ~18x slower for at-best-parity warm throughput;
+    # raise to ~24 on hardware where compile time amortizes over long
+    # sweeps.  Part of compiled-program identity (static under jit).
     verbose: bool = False        # iteration log via host callback (the
                                  # reference hard-wires verbose=true, ref :3)
 

@@ -153,18 +153,7 @@ def solve_subproblem(
         return (~c.solved) & (c.k <= opts.max_inner_iter) & (c.stall < opts.stall_window)
 
     def body(c: _TRCarry):
-        s, pred, aset = inner_step(
-            c.x,
-            c.g,
-            c.H,
-            poly,
-            c.delta,
-            opts.max_minor_iter,
-            opts.kappa2,
-            opts.kappa3,
-            atol,
-            opts.chol_reg,
-        )
+        s, pred, aset = inner_step(c.x, c.g, c.H, poly, c.delta, opts, atol)
         x_next = c.x + s
         rx_next, cx_next, mx_next = evaluate_al(
             x_next, y, mu, fns.residuals, fns.nlconstraints

@@ -9,19 +9,22 @@ import os
 
 # Force-set: the image pre-sets JAX_PLATFORMS=axon,cpu (the TPU tunnel), so
 # setdefault would silently leave tests running on the real chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# BENLSIP_TPU_TESTS=1 opts in to the chip for @pytest.mark.tpu tests
+# (compiled, non-interpret Pallas smoke): `BENLSIP_TPU_TESTS=1 pytest -m tpu`.
+_WANT_TPU = os.environ.get("BENLSIP_TPU_TESTS", "") == "1"
+if not _WANT_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _WANT_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Masked-unrolled inner loops triple CPU compile times without exercising
-# anything the while_loop strategy doesn't; tests default to while_loops.
-# tests/test_loops.py covers strategy parity explicitly.
-import benlsip_tpu.solver.loops as _loops  # noqa: E402
-
-_loops.UNROLL_LIMIT = 0
+# Loop strategy: SolverOptions.unroll_limit defaults to 0 (while_loops),
+# which is also what tests want — masked-unrolled inner loops triple CPU
+# compile times without exercising anything the while_loop strategy
+# doesn't.  tests/test_loops.py covers strategy parity explicitly.

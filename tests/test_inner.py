@@ -160,8 +160,10 @@ def test_inner_step_properties():
     g = jnp.asarray(rng.standard_normal(n))
     delta = jnp.asarray(0.5)
     atol = float(np.sqrt(np.finfo(np.float64).eps))
+    from benlsip_tpu.solver.options import SolverOptions
+
     s, pred, aset = inner_step(
-        jnp.asarray(x_feas), g, H, poly, delta, max_minor_iter=50, kappa2=0.1, kappa3=0.1, atol=atol
+        jnp.asarray(x_feas), g, H, poly, delta, SolverOptions(), atol
     )
     assert float(jnp.linalg.norm(poly.A @ s)) < 1e-8
     x_new = np.asarray(x_feas) + np.asarray(s)

@@ -31,25 +31,20 @@ def test_zero_trips_returns_init():
 
 def test_solver_parity_unrolled_vs_while():
     # One real solve under each strategy must produce identical results.
-    import benlsip_tpu.solver.loops as loops
-    import benlsip_tpu.batch.vmap_solve as vs
+    # The strategy is a SolverOptions field (compiled-program identity in
+    # the config contract), so two option values = two cached programs.
+    import dataclasses
+
     from benlsip_tpu.batch.vmap_solve import solve_batched
     from benlsip_tpu.problems.generators import sphere_family
     from benlsip_tpu.solver.options import SolverOptions
 
     bp, theta, X0 = sphere_family(4, seed=8)
-    opts = SolverOptions(max_outer_iter=60, max_inner_iter=200)
-    old = loops.UNROLL_LIMIT
-    try:
-        loops.UNROLL_LIMIT = 0
-        vs._batched_runner.cache_clear()
-        X_w, _, i_w = solve_batched(bp, theta, X0, opts)
-        loops.UNROLL_LIMIT = 24
-        vs._batched_runner.cache_clear()
-        X_u, _, i_u = solve_batched(bp, theta, X0, opts)
-    finally:
-        loops.UNROLL_LIMIT = old
-        vs._batched_runner.cache_clear()
+    opts = SolverOptions(max_outer_iter=60, max_inner_iter=200, unroll_limit=0)
+    X_w, _, i_w = solve_batched(bp, theta, X0, opts)
+    X_u, _, i_u = solve_batched(
+        bp, theta, X0, dataclasses.replace(opts, unroll_limit=24)
+    )
     # Not bitwise: XLA schedules the QR/Householder ops of the multiplier
     # estimate and the R-factor operator differently inside an unrolled
     # body vs a while_loop body, and the 1-ulp differences amplify by the

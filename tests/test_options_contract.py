@@ -1,0 +1,88 @@
+"""The SolverOptions table IS the config contract (SURVEY.md §5): every
+knob must be live — changing it changes behavior.  Round-1 VERDICT found
+kappa1/gamma_c/max_trials dead on the live path (hardcoded defaults in
+`inner_step`) and the projected-Cauchy threshold a module constant; these
+tests pin the re-threaded contract.
+"""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from benlsip_tpu.ops.al import AlHessian
+from benlsip_tpu.ops.constraints import Polyhedron
+from benlsip_tpu.solver.inner import cauchy_step_projected, inner_step
+from benlsip_tpu.solver.options import SolverOptions
+
+rng = np.random.default_rng(7)
+
+
+def _setup(n=6, m=1):
+    A = rng.standard_normal((m, n))
+    x = rng.standard_normal(n)
+    poly = Polyhedron(
+        A=jnp.asarray(A),
+        b=jnp.asarray(A @ x),
+        xl=jnp.asarray(x - 0.3),
+        xu=jnp.asarray(x + 0.3),
+    )
+    # Anisotropic curvature so the exact-linesearch trial overshoots the
+    # sufficient-decrease test and the backtracking loop actually runs.
+    J = rng.standard_normal((2 * n, n)) * np.geomspace(1.0, 30.0, n)[None, :]
+    H = AlHessian(jnp.asarray(J), jnp.zeros((0, n)), jnp.asarray(1.0))
+    g = jnp.asarray(rng.standard_normal(n) * 5.0)
+    return jnp.asarray(x), g, H, poly
+
+
+def test_kappa1_changes_projected_cauchy_step():
+    x, g, H, poly, = _setup()
+    delta = jnp.asarray(0.5)
+    s_loose, _ = cauchy_step_projected(x, g, H, poly, delta, 1e-10, kappa1=1e-2)
+    s_strict, _ = cauchy_step_projected(x, g, H, poly, delta, 1e-10, kappa1=0.9)
+    # A stricter sufficient-decrease fraction forces more backtracking ->
+    # a different (shorter) accepted step.
+    assert not np.allclose(np.asarray(s_loose), np.asarray(s_strict))
+    assert float(jnp.linalg.norm(s_strict)) < float(jnp.linalg.norm(s_loose))
+
+
+def test_gamma_c_changes_backtracking_sequence():
+    x, g, H, poly = _setup()
+    delta = jnp.asarray(0.5)
+    s_a, _ = cauchy_step_projected(x, g, H, poly, delta, 1e-10, kappa1=0.9, gamma_c=10.0)
+    s_b, _ = cauchy_step_projected(x, g, H, poly, delta, 1e-10, kappa1=0.9, gamma_c=2.0)
+    assert not np.allclose(np.asarray(s_a), np.asarray(s_b))
+
+
+def test_max_trials_caps_backtracking():
+    x, g, H, poly = _setup()
+    delta = jnp.asarray(0.5)
+    # kappa1 = 1.0 is unsatisfiable for PSD H (q(s) = gᵀs + ½sᵀHs > gᵀs),
+    # so the trial loop runs to its cap; the cap then decides the final t.
+    s_1, _ = cauchy_step_projected(x, g, H, poly, delta, 1e-10, kappa1=1.0, max_trials=1)
+    s_16, _ = cauchy_step_projected(x, g, H, poly, delta, 1e-10, kappa1=1.0, max_trials=16)
+    assert not np.allclose(np.asarray(s_1), np.asarray(s_16))
+
+
+def test_projected_cauchy_threshold_switches_path():
+    # threshold below n-m forces the projected-search Cauchy even at small
+    # n; both paths must produce a feasible model-decreasing inner step,
+    # and the two paths are genuinely different algorithms (different s).
+    x, g, H, poly = _setup()
+    delta = jnp.asarray(0.25)
+    opts_walk = SolverOptions(projected_cauchy_threshold=1000)
+    opts_proj = SolverOptions(projected_cauchy_threshold=0)
+    s_w, pred_w, _ = inner_step(x, g, H, poly, delta, opts_walk, 1e-10)
+    s_p, pred_p, _ = inner_step(x, g, H, poly, delta, opts_proj, 1e-10)
+    for s, pred in ((s_w, pred_w), (s_p, pred_p)):
+        assert float(jnp.linalg.norm(poly.A @ s)) < 1e-8
+        assert float(pred) <= 1e-12
+        xn = np.asarray(x) + np.asarray(s)
+        assert np.all(xn >= np.asarray(poly.xl) - 1e-9)
+        assert np.all(xn <= np.asarray(poly.xu) + 1e-9)
+
+
+def test_unroll_limit_is_a_static_program_key():
+    # Frozen + hashable: two option values are two distinct cache keys.
+    a = SolverOptions(unroll_limit=0)
+    b = dataclasses.replace(a, unroll_limit=24)
+    assert hash(a) != hash(b) and a != b
