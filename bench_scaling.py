@@ -86,7 +86,7 @@ def compile_config4(n: int, d: int, block: int):
     """Lower+compile the blocked-Jacobian solve on a `block`-device mesh."""
     from benlsip_tpu.batch.vmap_solve import BatchedProblem
     from benlsip_tpu.dist.mesh import make_mesh
-    from benlsip_tpu.dist.sharded import blocked_jacobian_fns
+    from benlsip_tpu.dist.sharded import _resolve_blocked_options, blocked_jacobian_fns
     from benlsip_tpu.problems.generators import dense_quadratic_family
     from benlsip_tpu.solver.options import SolverOptions
     from benlsip_tpu.solver.outer import solve_fixed_point
@@ -96,7 +96,7 @@ def compile_config4(n: int, d: int, block: int):
                                            dtype=jnp.float32)
     theta_i = jax.tree.map(lambda a: a[0], theta)
     x0 = X0[0]
-    opts = SolverOptions(max_outer_iter=2, max_inner_iter=4)
+    opts = _resolve_blocked_options(SolverOptions(max_outer_iter=2, max_inner_iter=4))
     poly = bp.polyhedron(n, x0.dtype)
 
     def run(poly_, x0_, theta_):
@@ -139,6 +139,43 @@ def compile_dp(B: int, batch_devices: int):
         return X, info.converged
 
     return jax.jit(run).lower(theta, X0).compile(), (theta, X0)
+
+
+def compile_dp_shardmap(B: int, batch_devices: int):
+    """Lower+compile the per-shard-exit DP solve (shard_map) on a
+    ('batch',) mesh — zero collectives of ANY kind expected."""
+    from jax.sharding import PartitionSpec as P
+
+    from benlsip_tpu.batch.vmap_solve import _batched_runner, poly_batch_axes
+    from benlsip_tpu.dist.mesh import make_mesh
+    from benlsip_tpu.ops.constraints import Polyhedron
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    mesh = make_mesh(batch=batch_devices, block=1,
+                     devices=jax.devices()[:batch_devices])
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=0, dtype=jnp.float32)
+    opts = SolverOptions(max_outer_iter=3, max_inner_iter=8, max_minor_iter=5)
+    poly = bp.polyhedron(X0.shape[-1], X0.dtype)
+    poly_axes = poly_batch_axes(poly)
+    fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+    local = _batched_runner(fns_key, opts, poly_axes, jit=False)
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P("batch"), theta),
+                P("batch", None),
+                Polyhedron(*(P("batch") if ax == 0 else P() for ax in poly_axes)),
+            ),
+            out_specs=jax.tree.map(
+                lambda _: P("batch"), jax.eval_shape(local, theta, X0, poly)
+            ),
+            check_vma=False,
+        )
+    )
+    return fn.lower(theta, X0, poly).compile(), (theta, X0, poly)
 
 
 def main():
@@ -186,6 +223,23 @@ def main():
         "latency per loop level",
     }
     results.append(dp_row)
+
+    # --- DP per-shard exit (shard_map): zero collectives, local loop
+    # predicates — no cross-mesh scalar on any iteration's critical path,
+    # so DCN latency never appears in the DP iteration model at all.
+    compiled, _ = compile_dp_shardmap(args.dp_batch, 8)
+    counts, nbytes = collective_stats(compiled.as_text())
+    results.append({
+        "config": "scaling-dp-shardmap",
+        "mesh": "batch=8",
+        "B": args.dp_batch,
+        "collectives": counts,
+        "comm_bytes": nbytes,
+        "note": "per-shard loop exit (dist.sharded.solve_batched_shardmap): "
+        "each device's while_loop predicate is local, a finished shard "
+        "exits without waiting on stragglers; the compiled program carries "
+        "zero collectives (asserted by tests/test_shardmap_dp.py)",
+    })
 
     # --- Blocked-Jacobian (config 4): comm volume vs mesh size. ---
     inner_iters = 2 * 4  # max_outer * max_inner in compile_config4

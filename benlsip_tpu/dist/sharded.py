@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..batch.vmap_solve import BatchedProblem, solve_batched
+from ..batch.vmap_solve import (
+    BatchedProblem,
+    _batched_runner,
+    poly_batch_axes,
+    solve_batched,
+)
+from ..ops.constraints import Polyhedron
 from ..solver.api import NLSFunctions, Problem
 from ..solver.options import SolverOptions
 from ..solver.outer import SolveInfo, solve_fixed_point
@@ -45,6 +51,84 @@ def solve_batched_sharded(
     theta = shard_batch(theta, mesh)
     X0 = jax.device_put(X0, batch_sharding(mesh, X0.ndim))
     return solve_batched(bp, theta, X0, options)
+
+
+def solve_batched_shardmap(
+    bp: BatchedProblem,
+    theta,
+    X0: Array,
+    options: SolverOptions,
+    mesh: Mesh,
+) -> Tuple[Array, Array, SolveInfo]:
+    """Data-parallel batched solve with PER-SHARD loop exit.
+
+    `solve_batched_sharded` compiles ONE global program: the batched
+    `lax.while_loop`'s predicate is an any-reduce over the whole batch, so
+    under SPMD partitioning XLA inserts a scalar pred all-reduce across
+    the ENTIRE mesh every solver iteration — over DCN on a multi-host
+    batch axis, that cross-host latency sits on every iteration of every
+    chip, and every shard spins until the globally slowest instance
+    converges.
+
+    Here the vmapped solve runs inside `shard_map`: each device traces its
+    own while_loop over its local chunk, the predicate reduce is local,
+    and a shard whose instances have all converged EXITS — no cross-mesh
+    scalar on the per-iteration critical path, no waiting on other shards'
+    stragglers.  Per-instance results are identical (instances are
+    independent); tests/test_shardmap_dp.py pins parity and zero
+    collectives in the compiled HLO.
+    """
+    B = X0.shape[0]
+    n = X0.shape[-1]
+    nshards = mesh.shape["batch"]
+    if B % nshards:
+        raise ValueError(f"batch {B} not divisible by mesh batch axis {nshards}")
+    poly = bp.polyhedron(n, X0.dtype)
+    poly_axes = poly_batch_axes(poly)
+    fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+    # The local body is the plain (unjitted) vmapped runner over the shard's
+    # chunk; shard_map replicates it per device with purely local shapes.
+    local = _batched_runner(fns_key, options, poly_axes, jit=False)
+
+    batch_spec = P("batch")
+
+    def spec_for(a, axis):
+        if axis == 0:
+            return NamedSharding(mesh, P("batch", *([None] * (a.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    theta_specs = jax.tree.map(lambda a: spec_for(a, 0), theta)
+    poly_specs = Polyhedron(
+        *(spec_for(getattr(poly, f), ax) for f, ax in zip(Polyhedron._fields, poly_axes))
+    )
+    x_spec = NamedSharding(mesh, P("batch", None))
+    out_specs = jax.tree.map(lambda _: batch_spec, jax.eval_shape(local, theta, X0, poly))
+
+    run = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                jax.tree.map(lambda _: batch_spec, theta),
+                P("batch", None),
+                Polyhedron(*(batch_spec if ax == 0 else P() for ax in poly_axes)),
+            ),
+            out_specs=out_specs,
+            # The solver's while_loop carries mix shard-constant init values
+            # (zeros, tolerances) with shard-varying updates; the static
+            # varying-axes analysis rejects that even though the program is
+            # purely local.  Disable the check — there are no collectives
+            # for it to validate (pinned by tests/test_shardmap_dp.py).
+            check_vma=False,
+        )
+    )
+    theta = jax.tree.map(lambda a, s: jax.device_put(a, s), theta, theta_specs)
+    X0 = jax.device_put(X0, x_spec)
+    poly = Polyhedron(*(
+        jax.device_put(getattr(poly, f), s)
+        for f, s in zip(Polyhedron._fields, poly_specs)
+    ))
+    return run(theta, X0, poly)
 
 
 def blocked_jacobian_fns(fns: NLSFunctions, mesh: Mesh) -> NLSFunctions:
@@ -78,6 +162,24 @@ def blocked_jacobian_fns(fns: NLSFunctions, mesh: Mesh) -> NLSFunctions:
     )
 
 
+def _resolve_blocked_options(options: SolverOptions) -> SolverOptions:
+    """Blocked mode resolves gn_factorization="auto" to "normal".
+
+    XLA has no distributed QR: with J row-sharded over 'block', the QR
+    route would all-gather the full (d, n) Jacobian every operator refresh
+    (measured: 16.8 MB/iter at n=2048/d=8192/block=2 vs ~4 KB/iter for the
+    Gram path, whose JᵀJ partial products psum only (n,n) — and XLA reuses
+    the local GEMM).  The conditioning argument for QR is also weakest
+    here: the blocked instances run f32 with "highest" matmul precision
+    and certify through the f64 phases.  Users can still force "qr".
+    """
+    import dataclasses
+
+    if options.gn_factorization == "auto":
+        return dataclasses.replace(options, gn_factorization="normal")
+    return options
+
+
 def solve_large_blocked(
     problem: Problem,
     x0: Array,
@@ -92,6 +194,7 @@ def solve_large_blocked(
     threads the data through as traced (sharded) arguments.
     """
     x0 = jnp.asarray(x0)
+    options = _resolve_blocked_options(options)
     fns, poly = problem.build(x0.shape[0], x0.dtype)
     fns = blocked_jacobian_fns(fns, mesh)
 
@@ -116,6 +219,7 @@ def solve_large_blocked_family(
     sharded in HBM.
     """
     x0 = jnp.asarray(x0)
+    options = _resolve_blocked_options(options)
     n = x0.shape[0]
     poly = bp.polyhedron(n, x0.dtype)
     # Row-shard every theta leaf whose leading axis matches the residual
