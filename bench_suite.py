@@ -29,12 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fence(out):
+    # Through the axon socket relay `block_until_ready` can return before
+    # the device finishes; a scalar D2H pull is the only true fence.
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            float(jnp.sum(leaf))
+            return
+    jax.block_until_ready(out)
+
+
 def _bench(fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     return time.perf_counter() - t0, out
 
 

@@ -14,6 +14,7 @@ the collectives inserted by XLA's SPMD partitioner, not hand-written.
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -232,9 +233,28 @@ def solve_large_blocked_family(
         return jax.device_put(a, NamedSharding(mesh, P()))
 
     theta = jax.tree.map(place, theta)
+    fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+    return _blocked_runner(fns_key, options, mesh)(poly, x0, theta)
+
+
+@functools.lru_cache(maxsize=32)
+def _blocked_runner(fns_key, options: SolverOptions, mesh: Mesh):
+    """Cached jitted runner for the blocked-family solve.
+
+    Re-jitting a fresh closure per call retraces the whole solver program
+    every solve — measured ~5 s of pure host-side tracing per config-4
+    call on top of a ~1 s device wall (the round-1 `jax.jit(run)(...)`
+    pattern).  Cache key = (family callables, options, mesh), mirroring
+    batch.vmap_solve._batched_runner.
+    """
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+    bp = BatchedProblem(
+        residuals=residuals, nlconstraints=nlconstraints,
+        jac_res=jac_res, jac_nlcons=jac_nlcons,
+    )
 
     def run(poly_, x0_, theta_):
         fns = blocked_jacobian_fns(bp.instance_fns(theta_), mesh)
         return solve_fixed_point(fns, poly_, x0_, options)
 
-    return jax.jit(run)(poly, x0, theta)
+    return jax.jit(run)
