@@ -152,12 +152,16 @@ def solve_batched_chunked(
 
     Works around per-launch batch limits (the axon TPU tunnel faults above
     ~512 instances per program) and bounds the lockstep tail: a chunk only
-    waits for its own slowest instance.  B must be ≥ chunk; a ragged final
-    chunk is padded by repeating its first instance and trimmed after.
+    waits for its own slowest instance.  A ragged final chunk runs as its
+    own program at the next power-of-two size (padded by repeating its
+    first instance, trimmed after): a 100k-sweep tail of 17 instances then
+    costs a 32-lane launch instead of a full chunk-width one, and the
+    extra compiled sizes are bounded by log2(chunk) across any sweep.
     """
     B = X0.shape[0]
     chunk = min(chunk, B)
-    pad = (-B) % chunk
+    tail = B % chunk
+    n_full = B // chunk
 
     def map_poly_fields(bp_, fn):
         """Apply fn to the constraint fields that carry a batch axis."""
@@ -169,15 +173,8 @@ def solve_batched_chunked(
         }
         return dataclasses.replace(bp_, **upd) if upd else bp_
 
-    if pad:
-        rep = lambda a: jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
-        theta = jax.tree.map(rep, theta)
-        X0 = rep(X0)
-        bp = map_poly_fields(bp, rep)
-    n_chunks = (B + pad) // chunk
-
     outs = []
-    for i in range(n_chunks):
+    for i in range(n_full):
         sl = slice(i * chunk, (i + 1) * chunk)
         outs.append(
             solve_batched(
@@ -187,10 +184,23 @@ def solve_batched_chunked(
                 options,
             )
         )
-    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-    if pad:
-        out = jax.tree.map(lambda a: a[:B], out)
-    return out
+    if tail:
+        size = 1 << (tail - 1).bit_length()  # next power of two ≥ tail
+        pad = size - tail
+        sl = slice(n_full * chunk, B)
+        grab = lambda a: a[sl]
+        if pad:
+            grab = lambda a: jnp.concatenate(
+                [a[sl], jnp.repeat(a[sl][:1], pad, axis=0)], axis=0
+            )
+        tail_out = solve_batched(
+            map_poly_fields(bp, grab),
+            jax.tree.map(grab, theta),
+            grab(X0),
+            options,
+        )
+        outs.append(jax.tree.map(lambda a: a[:tail], tail_out))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
 def solve_sequential(
