@@ -684,6 +684,8 @@ def polish_then_refine(
             feas=feas,
             mu=jnp.full((B,), opts.mu0, X.dtype),
             objective=obj,
+            minor_iters=jnp.zeros((B,), jnp.int32),
+            cg_iters=jnp.zeros((B,), jnp.int32),
         )
         if ok_h.all():
             return X, Y, info

@@ -102,7 +102,10 @@ def projected_cg(
     residual re-projected each iteration (ref :738-748).  Iteration cap
     2·(n - m - #fixed) (ref :714); tolerance kappa2·‖v0‖ (ref :710).
 
-    Returns (w, status) with status one of the CG_* codes.
+    Returns (w, status, iters) with status one of the CG_* codes and
+    iters the number of interior CG updates performed (observability:
+    the per-TR-iteration trip counts that set the wall, docs/SCALING.md
+    MFU section).
     """
     dtype = g_minor.dtype
     if atol is None:
@@ -209,4 +212,4 @@ def projected_cg(
     # Static trip bound 2(n - m) ≥ the dynamic cap 2(n - m - #fix) (ref :714);
     # small problems run the CG fully unrolled with masked lanes.
     out = run_bounded(cond, body, c0, max_trips=2 * (n - m), unroll_limit=unroll_limit)
-    return out.w, out.status
+    return out.w, out.status, out.it - 1

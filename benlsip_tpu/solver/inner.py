@@ -177,7 +177,7 @@ def minor_iterate(
     delta: Array,
     kappa2: float,
     unroll_limit: int | None = None,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """One minor iteration: projected-CG direction + model linesearch.
 
     Mirrors `minor_iterate` (ref `src/basic_tralcnlss.jl:649-675`) with the
@@ -196,14 +196,14 @@ def minor_iterate(
     w_u = jnp.maximum(w_u, 0.0)
     w_l = jnp.minimum(w_l, 0.0)
 
-    w, cg_status = projected_cg(
+    w, cg_status, cg_iters = projected_cg(
         g_minor, H, w_l, w_u, poly, aset, kappa2, unroll_limit=unroll_limit
     )
 
     # ref :669-672: linesearch unless negative curvature terminated CG.
     alpha = linesearch(g_minor, H, w, w_l, w_u, aset.fixed)
     w = jnp.where(cg_status != CG_NEGATIVE_CURVATURE, alpha * w, w)
-    return w, cg_status
+    return w, cg_status, cg_iters
 
 
 def cauchy_step_projected(
@@ -276,8 +276,16 @@ class _MinorCarry(NamedTuple):
     fixed: Array
     chol: Array
     j: Array
+    cg_total: Array
     approx_solved: Array
     cg_stop: Array
+
+
+class InnerStats(NamedTuple):
+    """Trip counts of one inner step (observability; see docs/SCALING.md)."""
+
+    minor_iters: Array
+    cg_iters: Array
 
 
 def inner_step(
@@ -288,7 +296,7 @@ def inner_step(
     delta: Array,
     opts,
     atol: float,
-) -> Tuple[Array, Array, ActiveSet]:
+) -> Tuple[Array, Array, ActiveSet, InnerStats]:
     """Cauchy step + active-set refinement minor iterations.
 
     Mirrors `inner_step` (ref `src/basic_tralcnlss.jl:394-460`).  Fixes the
@@ -330,6 +338,7 @@ def inner_step(
         fixed=aset0.fixed,
         chol=aset0.chol,
         j=jnp.asarray(1, jnp.int32),
+        cg_total=jnp.asarray(0, jnp.int32),
         approx_solved=approx_solved0,
         cg_stop=jnp.asarray(False),
     )
@@ -339,7 +348,7 @@ def inner_step(
 
     def body(c: _MinorCarry):
         aset = ActiveSet(fixed=c.fixed, chol=c.chol)
-        w, cg_status = minor_iterate(
+        w, cg_status, cg_iters = minor_iterate(
             x, c.s, c.g_minor, H, poly, aset, delta, opts.kappa2, unroll_limit=ul
         )
         cg_stop = cg_status == CG_NEGATIVE_CURVATURE
@@ -366,10 +375,12 @@ def inner_step(
             fixed=fixed,
             chol=aset_next.chol,
             j=c.j + 1,
+            cg_total=c.cg_total + cg_iters,
             approx_solved=approx_solved,
             cg_stop=cg_stop,
         )
 
     out = run_bounded(cond, body, c0, max_trips=min(opts.max_minor_iter, n - m), unroll_limit=ul)
     pred = jnp.vdot(g, out.s) + 0.5 * vhv(H, out.s)  # ref :458
-    return out.s, pred, ActiveSet(fixed=out.fixed, chol=out.chol)
+    stats = InnerStats(minor_iters=out.j - 1, cg_iters=out.cg_total)
+    return out.s, pred, ActiveSet(fixed=out.fixed, chol=out.chol), stats

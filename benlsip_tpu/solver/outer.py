@@ -55,6 +55,8 @@ class SolveInfo(NamedTuple):
     feas: Array           # final ‖c(x)‖
     mu: Array             # final penalty parameter
     objective: Array      # final 1/2 ‖r(x)‖² (the printed objective, ref :292)
+    minor_iters: Array = 0  # total minor iterations across subproblems
+    cg_iters: Array = 0     # total projected-CG steps across subproblems
 
 
 class OuterCarry(NamedTuple):
@@ -72,6 +74,8 @@ class OuterCarry(NamedTuple):
     stall: Array
     outer: Array
     inner_total: Array
+    minor_total: Array
+    cg_total: Array
     critical: Array
 
 
@@ -102,6 +106,8 @@ def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCa
         stall=jnp.asarray(0, jnp.int32),
         outer=jnp.asarray(1, jnp.int32),
         inner_total=jnp.asarray(0, jnp.int32),
+        minor_total=jnp.asarray(0, jnp.int32),
+        cg_total=jnp.asarray(0, jnp.int32),
         critical=jnp.asarray(False),
     )
 
@@ -179,6 +185,8 @@ def outer_body(fns, poly: Polyhedron, opts: SolverOptions, atol: float, c: Outer
         stall=stall,
         outer=c.outer + 1,
         inner_total=c.inner_total + sub.inner_iters,
+        minor_total=c.minor_total + sub.minor_iters,
+        cg_total=c.cg_total + sub.cg_iters,
         critical=critical,
     )
 
@@ -196,6 +204,8 @@ def carry_info(out: OuterCarry, opts: SolverOptions, objective=None) -> SolveInf
         ),
         outer_iters=out.outer - 1,
         inner_iters=out.inner_total,
+        minor_iters=out.minor_total,
+        cg_iters=out.cg_total,
         pix=out.pix,
         feas=jnp.linalg.norm(out.cx),
         mu=out.mu,

@@ -80,6 +80,8 @@ class _TRCarry(NamedTuple):
     best_pix: Array
     stall: Array
     k: Array
+    minor_total: Array
+    cg_total: Array
     solved: Array
 
 
@@ -89,6 +91,8 @@ class SubproblemResult(NamedTuple):
     cx: Array
     pix: Array
     inner_iters: Array
+    minor_iters: Array
+    cg_iters: Array
 
 
 def solve_subproblem(
@@ -144,6 +148,8 @@ def solve_subproblem(
         best_pix=jnp.asarray(jnp.inf, dtype),
         stall=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(1, jnp.int32),
+        minor_total=jnp.asarray(0, jnp.int32),
+        cg_total=jnp.asarray(0, jnp.int32),
         solved=jnp.asarray(False),
     )
 
@@ -153,7 +159,7 @@ def solve_subproblem(
         return (~c.solved) & (c.k <= opts.max_inner_iter) & (c.stall < opts.stall_window)
 
     def body(c: _TRCarry):
-        s, pred, aset = inner_step(c.x, c.g, c.H, poly, c.delta, opts, atol)
+        s, pred, aset, istats = inner_step(c.x, c.g, c.H, poly, c.delta, opts, atol)
         x_next = c.x + s
         rx_next, cx_next, mx_next = evaluate_al(
             x_next, y, mu, fns.residuals, fns.nlconstraints
@@ -209,7 +215,13 @@ def solve_subproblem(
         improved = pix < opts.stall_ratio * c.best_pix
         best_pix = jnp.minimum(pix, c.best_pix)
         stall = jnp.where(improved, 0, c.stall + 1)
-        return _TRCarry(x, rx, cx, mx, g, H, delta, pix, crit_lam, best_pix, stall, c.k + 1, solved)
+        return _TRCarry(
+            x, rx, cx, mx, g, H, delta, pix, crit_lam, best_pix, stall, c.k + 1,
+            c.minor_total + istats.minor_iters, c.cg_total + istats.cg_iters, solved,
+        )
 
     out = lax.while_loop(cond, body, c0)
-    return SubproblemResult(x=out.x, rx=out.rx, cx=out.cx, pix=out.pix, inner_iters=out.k - 1)
+    return SubproblemResult(
+        x=out.x, rx=out.rx, cx=out.cx, pix=out.pix, inner_iters=out.k - 1,
+        minor_iters=out.minor_total, cg_iters=out.cg_total,
+    )

@@ -56,7 +56,7 @@ def test_projected_cg_unconstrained_solves_newton():
         A=jnp.zeros((0, n)), b=jnp.zeros((0,)), xl=jnp.full(n, -jnp.inf), xu=jnp.full(n, jnp.inf)
     )
     aset = make_active_set(poly, jnp.zeros(n, bool))
-    w, status = projected_cg(g, H, jnp.full(n, -1e10), jnp.full(n, 1e10), poly, aset, kappa2=1e-10)
+    w, status, _ = projected_cg(g, H, jnp.full(n, -1e10), jnp.full(n, 1e10), poly, aset, kappa2=1e-10)
     assert int(status) in (int(CG_SOLVED), int(CG_MAX_ITER))
     H_dense = np.asarray(H.J).T @ np.asarray(H.J) + float(H.mu) * np.asarray(H.C).T @ np.asarray(H.C)
     np.testing.assert_allclose(np.asarray(w), np.linalg.solve(H_dense, -np.asarray(g)), rtol=1e-6)
@@ -70,7 +70,7 @@ def test_projected_cg_respects_tangent_space():
     aset = make_active_set(poly, fixed)
     H = random_spd_hessian(n)
     g = jnp.asarray(rng.standard_normal(n))
-    w, status = projected_cg(g, H, jnp.full(n, -1e6), jnp.full(n, 1e6), poly, aset, kappa2=0.01)
+    w, status, _ = projected_cg(g, H, jnp.full(n, -1e6), jnp.full(n, 1e6), poly, aset, kappa2=0.01)
     assert abs(float(w[3])) < 1e-10
     assert float(jnp.linalg.norm(A @ w)) < 1e-8
     # Model decrease: q(w) = gᵀw + ½wᵀHw < 0 unless w == 0.
@@ -88,7 +88,7 @@ def test_projected_cg_bound_hit():
     )
     aset = make_active_set(poly, jnp.zeros(n, bool))
     eps_box = 1e-6
-    w, status = projected_cg(g, H, jnp.full(n, -eps_box), jnp.full(n, eps_box), poly, aset, kappa2=1e-12)
+    w, status, _ = projected_cg(g, H, jnp.full(n, -eps_box), jnp.full(n, eps_box), poly, aset, kappa2=1e-12)
     assert int(status) == int(CG_BOUND_HIT)
     assert float(jnp.max(jnp.abs(w))) <= eps_box * (1 + 1e-9)
 
@@ -106,7 +106,7 @@ def test_projected_cg_negative_curvature():
         A=jnp.zeros((0, n)), b=jnp.zeros((0,)), xl=jnp.full(n, -jnp.inf), xu=jnp.full(n, jnp.inf)
     )
     aset = make_active_set(poly, jnp.zeros(n, bool))
-    w, status = projected_cg(g, H, jnp.full(n, -1.0), jnp.full(n, 1.0), poly, aset, kappa2=0.1)
+    w, status, _ = projected_cg(g, H, jnp.full(n, -1.0), jnp.full(n, 1.0), poly, aset, kappa2=0.1)
     assert int(status) == int(CG_NEGATIVE_CURVATURE)
     # Nonzero curvature -> stepped to the boundary of the box.
     assert float(jnp.max(jnp.abs(w))) > 0.99
@@ -162,9 +162,10 @@ def test_inner_step_properties():
     atol = float(np.sqrt(np.finfo(np.float64).eps))
     from benlsip_tpu.solver.options import SolverOptions
 
-    s, pred, aset = inner_step(
+    s, pred, aset, stats = inner_step(
         jnp.asarray(x_feas), g, H, poly, delta, SolverOptions(), atol
     )
+    assert int(stats.minor_iters) >= 0 and int(stats.cg_iters) >= 0
     assert float(jnp.linalg.norm(poly.A @ s)) < 1e-8
     x_new = np.asarray(x_feas) + np.asarray(s)
     assert np.all(x_new >= np.asarray(poly.xl) - 1e-9)

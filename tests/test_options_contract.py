@@ -71,8 +71,8 @@ def test_projected_cauchy_threshold_switches_path():
     delta = jnp.asarray(0.25)
     opts_walk = SolverOptions(projected_cauchy_threshold=1000)
     opts_proj = SolverOptions(projected_cauchy_threshold=0)
-    s_w, pred_w, _ = inner_step(x, g, H, poly, delta, opts_walk, 1e-10)
-    s_p, pred_p, _ = inner_step(x, g, H, poly, delta, opts_proj, 1e-10)
+    s_w, pred_w, _, _ = inner_step(x, g, H, poly, delta, opts_walk, 1e-10)
+    s_p, pred_p, _, _ = inner_step(x, g, H, poly, delta, opts_proj, 1e-10)
     for s, pred in ((s_w, pred_w), (s_p, pred_p)):
         assert float(jnp.linalg.norm(poly.A @ s)) < 1e-8
         assert float(pred) <= 1e-12

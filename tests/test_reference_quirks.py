@@ -27,7 +27,7 @@ def test_quirk1_minor_budget_clamped_nonnegative():
     H = AlHessian(jnp.eye(n), jnp.zeros((0, n)), jnp.asarray(1.0))
     from benlsip_tpu.solver.options import SolverOptions
 
-    s, pred, aset = inner_step(
+    s, pred, aset, _stats = inner_step(
         jnp.zeros(n), jnp.ones(n), H, poly, jnp.asarray(1.0), SolverOptions(), 1e-8
     )
     assert np.all(np.asarray(s) == 0.0)
@@ -41,7 +41,7 @@ def test_quirk4_cg_status_never_undefined():
     poly = Polyhedron(A=A, b=jnp.zeros(m), xl=jnp.full(n, -1.0), xu=jnp.full(n, 1.0))
     aset = make_active_set(poly, jnp.zeros(n, bool))
     H = AlHessian(jnp.eye(n), jnp.zeros((0, n)), jnp.asarray(1.0))
-    w, status = projected_cg(
+    w, status, _ = projected_cg(
         jnp.ones(n), H, jnp.full(n, -1.0), jnp.full(n, 1.0), poly, aset, 0.1
     )
     assert int(status) in (int(CG_MAX_ITER), int(CG_SOLVED))
@@ -144,7 +144,7 @@ def test_quirk3_minor_loop_box_binds_free_variables():
     x = jnp.zeros(n)
     s = jnp.zeros(n)
     g_minor = jnp.asarray([-5.0, 0.0])  # unconstrained CG solution w = (5, 0)
-    w, status = minor_iterate(x, s, g_minor, H, poly, aset, jnp.asarray(5.0), 0.1)
+    w, status, _ = minor_iterate(x, s, g_minor, H, poly, aset, jnp.asarray(5.0), 0.1)
     # The free variable's step must respect the remaining gap to xu[0]=0.1.
     assert float(w[0]) <= 0.1 + 1e-9, float(w[0])
     xn = np.asarray(x + s + w)
