@@ -41,7 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
+def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host"):
     """Mixed-precision pipeline: f32 bulk on `device`, f64 refine on CPU.
 
     Master f64 data stays host-resident (the production layout); the
@@ -53,8 +53,10 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
     # Warmup (compile both phases)
     # No difficulty sorting here: the pilot run is a second compiled program
     # and TPU compiles through the tunnel are the bench's scarce resource.
-    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=chunk, bulk_device=device)
-    jax.block_until_ready(X)
+    X, Y, info = solve_mixed_precision(
+        bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify
+    )
+    float(jnp.sum(X))  # true fence: block_until_ready is a no-op via the relay
     # Best of 3 timed reps: the socket tunnel to the chip adds 20-60% wall
     # jitter run-to-run (docs/BENCH_NOTES.md); min-wall is the standard
     # noise-robust estimator of the pipeline's actual cost.
@@ -62,9 +64,9 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512):
     for _ in range(3):
         t0 = time.perf_counter()
         X, Y, info = solve_mixed_precision(
-            bp, theta, X0, opts, chunk=chunk, bulk_device=device
+            bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify
         )
-        jax.block_until_ready(X)
+        float(jnp.sum(X))
         walls.append(time.perf_counter() - t0)
     conv = int(jnp.sum(info.converged))
     return min(walls), conv, walls
@@ -126,6 +128,11 @@ def main():
     dt_b, conv_b, walls = _time_pipeline(bp, theta, X0, opts, dev)
     rate = conv_b / dt_b
 
+    # Device-resident certification variant (VERDICT round-1 item 5): the
+    # f64 polish runs ON the chip, removing the D2H + host-polish leg.
+    dt_d, conv_d, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device")
+    rate_dev = conv_d / dt_d
+
     # Primary baseline: tight single-core numpy (the reference's execution
     # model, measured — VERDICT round 1 item 3).
     k_np = 64
@@ -154,6 +161,9 @@ def main():
                 "converged_frac": round(conv_b / B, 4),
                 "pipeline_wall_s": round(dt_b, 3),
                 "pipeline_walls_all_reps_s": [round(w, 3) for w in walls],
+                "device_certify_rate": round(rate_dev, 2),
+                "device_certify_wall_s": round(dt_d, 3),
+                "device_certify_converged_frac": round(conv_d / B, 4),
                 "baseline": "tight single-core numpy AL-LM solver, same workload + KKT oracle (Julia unavailable; see BASELINE.md)",
                 "baseline_rate": round(np_rate, 2),
                 "baseline_converged_frac": round(conv_np / k_np, 4),

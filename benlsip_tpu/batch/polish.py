@@ -583,6 +583,7 @@ def polish_then_refine(
     theta32=None,
     split: str = "auto",
     kkt_factorization: str = "auto",
+    fallback_device: Optional[object] = "cpu",
 ) -> Tuple[Array, Array, SolveInfo]:
     """f64 certification phase: SQP polish + full-refine fallback.
 
@@ -622,6 +623,14 @@ def polish_then_refine(
         dev = next(iter(X32.devices()))
     else:
         dev = device
+    on_accelerator = dev.platform != "cpu"
+    if on_accelerator and kkt_factorization == "auto":
+        # Device-resident f64 certification (certify="device"): TPU XLA has
+        # no f64 LuDecomposition ("Only F32 and C64 types are implemented"),
+        # but the range-space QR factorization compiles and runs under the
+        # f64 emulation — measured 30 ms warm for a 256-instance polish on
+        # v5e vs a 30-40 ms D2H floor alone for the host path.
+        kkt_factorization = "qr"
     put = lambda t: jax.tree.map(lambda a: jax.device_put(a, dev), t)
     ctx = jax.default_device(dev)
     f64 = lambda t: _cast_tree(t, jnp.float64)
@@ -638,6 +647,7 @@ def polish_then_refine(
         use_split = (
             bp32 is not None
             and theta32 is not None
+            and not on_accelerator  # device polish IS on-device; no split
             and (split == "on" or (split == "auto" and X32.shape[-1] >= 64))
         )
         if use_split:
@@ -714,7 +724,12 @@ def polish_then_refine(
             and getattr(bp64, f).ndim > getattr(_POLY_BASE_RANK, f)
         }
         bp_f = dataclasses.replace(bp64, **upd) if upd else bp64
-        Xf, Yf, inf_f = refine_f64(bp_f, theta_f, X[idx_p], options, device=device, chunk=chunk)
+        # The full-refine fallback stays on its own device (CPU by default):
+        # the complete f64 solver program faults on the TPU runtime even
+        # where the small polish program runs (docs/BENCH_NOTES.md).
+        Xf, Yf, inf_f = refine_f64(
+            bp_f, theta_f, X[idx_p], options, device=fallback_device, chunk=chunk
+        )
 
         sel = jnp.asarray(idx)
         X = X.at[sel].set(Xf[:k])

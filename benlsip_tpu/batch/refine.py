@@ -98,8 +98,16 @@ def solve_mixed_precision(
     polish_steps: int = 5,
     bulk_crit_tol: Optional[float] = 1e-2,
     bulk_device: Optional[jax.Device] = None,
+    certify: str = "host",
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
+
+    certify="host" (default) pulls the f32 solutions to CPU for the f64
+    polish; certify="device" keeps the certification phase ON the bulk
+    device — the f64 polish compiles under the TPU's f64 emulation through
+    the range-space QR factorization (no f64 LU exists there) and the only
+    D2H traffic left is the final results.  The full-refine fallback for
+    uncertified stragglers runs on CPU either way.
 
     With `polish=True` (default) the f64 phase is the warm-start SQP polish
     (batch/polish.py): fixed-active-set Gauss-Newton KKT steps, ~20x cheaper
@@ -183,7 +191,7 @@ def solve_mixed_precision(
 
         return polish_then_refine(
             bp_h, theta_h, X32, options, num_steps=polish_steps, chunk=chunk,
-            device=refine_device,
+            device=None if certify == "device" else refine_device,
             # Hand the device-resident f32 working set to the polish so it
             # can factor the KKT systems on the bulk device (split polish;
             # auto-enabled for n >= 64).

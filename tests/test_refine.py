@@ -65,3 +65,24 @@ def test_refinement_is_cheap_warm():
     assert float(jnp.mean(i64.converged.astype(jnp.float64))) >= 0.9
     # Refinement outer iterations are few (warm start).
     assert float(jnp.median(i64.outer_iters.astype(jnp.float64))) <= 5
+
+
+def test_certify_device_plumbing_matches_host():
+    # On CPU both certify modes collapse to the same device, but the
+    # plumbing (device=None routing + QR auto-selection off-CPU) must
+    # produce identical certified results through the public pipeline.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    B = 32
+    bp, theta, X0 = exp_fit_family(B, d=16, seed=13, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    Xh, Yh, ih = solve_mixed_precision(bp, theta, X0, opts, chunk=B, certify="host")
+    Xd, Yd, id_ = solve_mixed_precision(bp, theta, X0, opts, chunk=B, certify="device")
+    assert bool(np.all(np.asarray(ih.converged)))
+    assert bool(np.all(np.asarray(id_.converged)))
+    np.testing.assert_allclose(np.asarray(Xd), np.asarray(Xh), rtol=1e-9, atol=1e-11)

@@ -82,3 +82,25 @@ def test_solver_f32_end_to_end_on_chip():
     np.testing.assert_allclose(
         np.asarray(x), [1.3747, 0.0876, 1.0500], atol=2e-3
     )
+
+
+@requires_tpu
+def test_certify_device_on_chip_matches_host_grade():
+    # certify="device": the f64 certification phase runs ON the chip
+    # (QR-factored polish under f64 emulation); solutions must certify to
+    # the same f64 KKT grade as the host path.
+    import jax.numpy as jnp
+
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    B = 128
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=21, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    Xd, Yd, id_ = solve_mixed_precision(bp, theta, X0, opts, chunk=B, certify="device")
+    Xh, Yh, ih = solve_mixed_precision(bp, theta, X0, opts, chunk=B, certify="host")
+    conv_d = np.asarray(id_.converged)
+    conv_h = np.asarray(ih.converged)
+    assert conv_d.mean() == 1.0 and conv_h.mean() == 1.0
+    np.testing.assert_allclose(np.asarray(Xd), np.asarray(Xh), atol=1e-7)
