@@ -237,6 +237,90 @@ def solve_large_blocked_family(
     return _blocked_runner(fns_key, options, mesh)(poly, x0, theta)
 
 
+def solve_large_blocked_shardmap(
+    bp,
+    theta,
+    x0: Array,
+    options: SolverOptions,
+    mesh: Mesh,
+) -> Tuple[Array, Array, SolveInfo]:
+    """Config-4 blocked solve with EXPLICIT collectives under shard_map.
+
+    The pjit path (`solve_large_blocked_family`) lets XLA's partitioner
+    insert the collectives from sharding constraints; this path is the
+    hand-scheduled twin: the whole solver runs inside `shard_map` with the
+    residual dimension sharded over 'block', each device sees only its
+    LOCAL Jacobian/residual rows, and every d-contraction — rᵀr, Jᵀr, the
+    Gram build JᵀJ, ‖Jv‖² — carries one explicit `psum` through
+    `dist/collectives.py` (SolverOptions.spmd_axis plumbing in ops/al.py).
+    Everything else (constraint algebra, projections, active sets, the
+    whole TR state machine) is replicated arithmetic on n-vectors.
+
+    Use this path to control the communication schedule directly (e.g. to
+    overlap or batch reductions); numerically it is the same algorithm —
+    tests pin parity with the pjit path on the virtual mesh.
+    """
+    import dataclasses
+
+    x0 = jnp.asarray(x0)
+    block = mesh.shape["block"]
+    options = dataclasses.replace(
+        _resolve_blocked_options(options),
+        spmd_axis="block",
+        # The matrix-free Hv/vhv forms also psum correctly via spmd_axis,
+        # but the Gram operator pays one n² reduce per refresh instead of
+        # one n-vector psum per CG iteration — the right trade at blocked
+        # scale (docs/SCALING.md).
+        gram_hessian="on",
+    )
+    n = x0.shape[0]
+    poly = bp.polyhedron(n, x0.dtype)
+    fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+    runner = _blocked_shardmap_runner(fns_key, options, mesh)
+
+    def place(a):
+        if a.ndim >= 1 and a.shape[0] % block == 0:
+            return jax.device_put(a, NamedSharding(mesh, P("block", *([None] * (a.ndim - 1)))))
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    theta = jax.tree.map(place, theta)
+    return runner(poly, x0, theta)
+
+
+@functools.lru_cache(maxsize=32)
+def _blocked_shardmap_runner(fns_key, options: SolverOptions, mesh: Mesh):
+    residuals, nlconstraints, jac_res, jac_nlcons = fns_key
+    bp = BatchedProblem(
+        residuals=residuals, nlconstraints=nlconstraints,
+        jac_res=jac_res, jac_nlcons=jac_nlcons,
+    )
+    block = mesh.shape["block"]
+
+    def local(poly_, x0_, theta_):
+        fns = bp.instance_fns(theta_)
+        return solve_fixed_point(fns, poly_, x0_, options)
+
+    def theta_spec(a):
+        # Row-sharded iff the leading axis splits over 'block' (mirrors
+        # `place` in the caller); replicated otherwise.
+        return P("block") if a.ndim >= 1 and a.shape[0] % block == 0 else P()
+
+    def run(poly_, x0_, theta_):
+        specs = jax.tree.map(theta_spec, theta_)
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), specs),
+            # Replicated outputs: every device computes identical psum-fed
+            # values, so the results carry no 'block' component.
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(poly_, x0_, theta_)
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=32)
 def _blocked_runner(fns_key, options: SolverOptions, mesh: Mesh):
     """Cached jitted runner for the blocked-family solve.

@@ -57,24 +57,42 @@ class AlHessian(NamedTuple):
     R: Array | None = None   # optional (k, n) QR factor of [J; sqrt(mu)·C]
 
 
-def al_value(rx: Array, cx: Array, y: Array, mu: Array) -> Array:
-    """m(x) = 1/2 rᵀr + yᵀc + mu/2 cᵀc  (ref `src/basic_tralcnlss.jl:44`)."""
-    return 0.5 * jnp.vdot(rx, rx) + jnp.vdot(y, cx) + 0.5 * mu * jnp.vdot(cx, cx)
+def _psum(x, axis):
+    if axis is None:
+        return x
+    from ..dist.collectives import psum
+
+    return psum(x, axis)
 
 
-def al_gradient(J: Array, C: Array, rx: Array, y_bar: Array) -> Array:
-    """g = Jᵀ rx + Cᵀ y_bar with y_bar = y + mu c  (ref `src/basic_tralcnlss.jl:45`)."""
-    return J.T @ rx + C.T @ y_bar
+def al_value(rx: Array, cx: Array, y: Array, mu: Array, axis: str | None = None) -> Array:
+    """m(x) = 1/2 rᵀr + yᵀc + mu/2 cᵀc  (ref `src/basic_tralcnlss.jl:44`).
+
+    `axis` names the mesh axis the residual dimension is sharded over in
+    the explicit-collectives blocked mode (shard_map): rᵀr is then a local
+    partial + one scalar psum.  None (default) = unsharded/pjit modes.
+    """
+    return _psum(0.5 * jnp.vdot(rx, rx), axis) + jnp.vdot(y, cx) + 0.5 * mu * jnp.vdot(cx, cx)
 
 
-def with_gram(H: AlHessian) -> AlHessian:
+def al_gradient(J: Array, C: Array, rx: Array, y_bar: Array, axis: str | None = None) -> Array:
+    """g = Jᵀ rx + Cᵀ y_bar with y_bar = y + mu c  (ref `src/basic_tralcnlss.jl:45`).
+
+    With `axis`, Jᵀrx is a local row-block contraction + one n-vector psum
+    (the blockwise-accumulation pattern of SURVEY.md §5's long-context row).
+    """
+    return _psum(J.T @ rx, axis) + C.T @ y_bar
+
+
+def with_gram(H: AlHessian, axis: str | None = None) -> AlHessian:
     """Materialize G = JᵀJ + mu CᵀC into the operator (one (n,d)×(d,n) GEMM).
 
     In the row-sharded blocked-Jacobian mode J is sharded over its d axis, so
     JᵀJ is a per-chip partial product + one all-reduce of n² — paid once per
-    Jacobian refresh instead of two psums per CG iteration.
+    Jacobian refresh instead of two psums per CG iteration (`axis` makes the
+    reduce explicit under shard_map; under pjit XLA inserts it).
     """
-    G = H.J.T @ H.J + H.mu * (H.C.T @ H.C)
+    G = _psum(H.J.T @ H.J, axis) + H.mu * (H.C.T @ H.C)
     return AlHessian(H.J, H.C, H.mu, G)
 
 
@@ -96,23 +114,24 @@ def with_r_factor(H: AlHessian) -> AlHessian:
     return AlHessian(H.J, H.C, H.mu, None, qr_r(S))
 
 
-def hv(H: AlHessian, v: Array) -> Array:
+def hv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
     """Matrix-free H @ v = Jᵀ(Jv) + mu Cᵀ(Cv)  (ref `src/basic_tralcnlss.jl:102-106`).
 
     Two GEMV pairs; under vmap these become batched GEMMs on the MXU, and in
-    the row-sharded large-instance mode the Jᵀ(Jv) contraction carries a psum.
-    With a materialized Gram matrix (see `with_gram`), one (n,n) GEMV; with
-    a QR factor (see `with_r_factor`), the pair Rᵀ(Rv) — same traffic, κ
-    instead of κ² rounding.
+    the row-sharded large-instance mode the Jᵀ(Jv) contraction carries a psum
+    (explicit via `axis` under shard_map, XLA-inserted under pjit).
+    With a materialized Gram matrix (see `with_gram`), one (n,n) GEMV on the
+    already-reduced operator; with a QR factor (see `with_r_factor`), the
+    pair Rᵀ(Rv) — same traffic, κ instead of κ² rounding.
     """
     if H.R is not None:
         return H.R.T @ (H.R @ v)
     if H.G is not None:
         return H.G @ v
-    return H.J.T @ (H.J @ v) + H.mu * (H.C.T @ (H.C @ v))
+    return _psum(H.J.T @ (H.J @ v), axis) + H.mu * (H.C.T @ (H.C @ v))
 
 
-def vhv(H: AlHessian, v: Array) -> Array:
+def vhv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
     """Quadratic form vᵀHv = ‖Jv‖² + mu ‖Cv‖²  (ref `src/basic_tralcnlss.jl:92-96`).
 
     The factored and QR forms are nonnegative by construction; the Gram
@@ -127,7 +146,7 @@ def vhv(H: AlHessian, v: Array) -> Array:
         return jnp.vdot(v, H.G @ v)
     Jv = H.J @ v
     Cv = H.C @ v
-    return jnp.vdot(Jv, Jv) + H.mu * jnp.vdot(Cv, Cv)
+    return _psum(jnp.vdot(Jv, Jv), axis) + H.mu * jnp.vdot(Cv, Cv)
 
 
 def new_point(
@@ -138,6 +157,7 @@ def new_point(
     nlconstraints: Callable[[Array], Array],
     jac_res: Callable[[Array], Array],
     jac_nlcons: Callable[[Array], Array],
+    axis: str | None = None,
 ) -> Tuple[Array, Array, Array, Array, Array, AlHessian]:
     """Full evaluation at x: (rx, cx, y_bar, mx, g, H).
 
@@ -148,8 +168,8 @@ def new_point(
     Jx = jac_res(x)
     Cx = jac_nlcons(x)
     y_bar = y + mu * cx
-    mx = al_value(rx, cx, y, mu)
-    g = al_gradient(Jx, Cx, rx, y_bar)
+    mx = al_value(rx, cx, y, mu, axis)
+    g = al_gradient(Jx, Cx, rx, y_bar, axis)
     return rx, cx, y_bar, mx, g, AlHessian(Jx, Cx, mu)
 
 
@@ -159,6 +179,7 @@ def evaluate_al(
     mu: Array,
     residuals: Callable[[Array], Array],
     nlconstraints: Callable[[Array], Array],
+    axis: str | None = None,
 ) -> Tuple[Array, Array, Array]:
     """Value-only evaluation (no Jacobians): (rx, cx, mx).
 
@@ -167,7 +188,7 @@ def evaluate_al(
     """
     rx = residuals(x)
     cx = nlconstraints(x)
-    return rx, cx, al_value(rx, cx, y, mu)
+    return rx, cx, al_value(rx, cx, y, mu, axis)
 
 
 def first_derivatives(

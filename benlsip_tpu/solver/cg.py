@@ -52,6 +52,7 @@ def linesearch(
     w_l: Array,
     w_u: Array,
     fixed: Array,
+    axis: str | None = None,
 ) -> Array:
     """Exact model linesearch along w, capped by the free-variable box.
 
@@ -59,7 +60,7 @@ def linesearch(
     alpha = min(-gᵀw / wᵀHw, max feasible alpha).  Guarded against the
     inf·0 = nan case when both terms are unbounded.
     """
-    wHw = vhv(H, w)
+    wHw = vhv(H, w, axis)
     gw = jnp.vdot(g_model, w)
     alpha_opt = jnp.where(wHw > 0, -gw / jnp.where(wHw > 0, wHw, 1.0), jnp.inf)
 
@@ -91,6 +92,7 @@ def projected_cg(
     kappa2: float,
     atol: float | None = None,
     unroll_limit: int | None = None,
+    axis: str | None = None,
 ) -> Tuple[Array, Array]:
     """Projected CG with bound-hit / negative-curvature early exits.
 
@@ -134,7 +136,7 @@ def projected_cg(
         return c.status == CG_RUNNING
 
     def body(c: _CGCarry):
-        Hp = hv(H, c.p)
+        Hp = hv(H, c.p, axis)
         pHp = jnp.vdot(c.p, Hp)
         gamma = factor_to_boundary(c.p, c.w, w_l, w_u)
         gamma_safe = jnp.where(jnp.isfinite(gamma), gamma, 0.0)

@@ -76,6 +76,7 @@ def cauchy_step(
     atol: float,
     chol_reg: float = 0.0,
     unroll_limit: int | None = None,
+    axis: str | None = None,
 ) -> Tuple[Array, ActiveSet]:
     """First local minimum of the model along the projected-gradient path.
 
@@ -115,7 +116,7 @@ def cauchy_step(
     # ‖Pg‖² < eps·‖g‖, stalling the solver at pi ~ sqrt(eps)·scale; -‖d‖²
     # is exact to relative eps.  (The reference computes the raw dot,
     # ref :610 — its tests never push into this regime.)
-    Hd0 = hv(H, d0)
+    Hd0 = hv(H, d0, axis)
     c0 = _CauchyCarry(
         s=jnp.zeros((n,), dtype),
         fixed=fixed0,
@@ -152,7 +153,7 @@ def cauchy_step(
         fixed = jnp.where(advance, c.fixed.at[ind].set(True), c.fixed)
         aset = make_active_set(poly, fixed, reg=chol_reg)
         d_new = project_tangent(poly, aset, -g)
-        Hd_new = hv(H, d_new)
+        Hd_new = hv(H, d_new, axis)
         d = jnp.where(advance, d_new, c.d)
         Hd = jnp.where(advance, Hd_new, c.Hd)
         # gᵀd = -‖d‖² (see init comment).
@@ -177,6 +178,7 @@ def minor_iterate(
     delta: Array,
     kappa2: float,
     unroll_limit: int | None = None,
+    axis: str | None = None,
 ) -> Tuple[Array, Array, Array]:
     """One minor iteration: projected-CG direction + model linesearch.
 
@@ -197,11 +199,11 @@ def minor_iterate(
     w_l = jnp.minimum(w_l, 0.0)
 
     w, cg_status, cg_iters = projected_cg(
-        g_minor, H, w_l, w_u, poly, aset, kappa2, unroll_limit=unroll_limit
+        g_minor, H, w_l, w_u, poly, aset, kappa2, unroll_limit=unroll_limit, axis=axis
     )
 
     # ref :669-672: linesearch unless negative curvature terminated CG.
-    alpha = linesearch(g_minor, H, w, w_l, w_u, aset.fixed)
+    alpha = linesearch(g_minor, H, w, w_l, w_u, aset.fixed, axis=axis)
     w = jnp.where(cg_status != CG_NEGATIVE_CURVATURE, alpha * w, w)
     return w, cg_status, cg_iters
 
@@ -217,6 +219,7 @@ def cauchy_step_projected(
     gamma_c: float = 10.0,
     max_trials: int = 16,
     chol_reg: float = 0.0,
+    axis: str | None = None,
 ) -> Tuple[Array, ActiveSet]:
     """Projected-search Cauchy step: backtracking along s(t) = P(x-t·g) - x.
 
@@ -242,14 +245,14 @@ def cauchy_step_projected(
     seg = Polyhedron(A=poly.A, b=jnp.zeros_like(poly.b), xl=d_l, xu=d_u)
 
     # Initial scale: the unconstrained exact-linesearch step along -g.
-    gHg = vhv(H, g)
+    gHg = vhv(H, g, axis)
     gg = jnp.vdot(g, g)
     t0 = jnp.where(gHg > 0, gg / jnp.where(gHg > 0, gHg, 1.0), 1.0)
 
     def trial(t):
         s = projection_polyhedron(seg, -t * g)
         gts = jnp.vdot(g, s)
-        qs = 0.5 * vhv(H, s) + gts
+        qs = 0.5 * vhv(H, s, axis) + gts
         ok = qs <= kappa1 * gts  # sufficient decrease (ref :488)
         return s, ok
 
@@ -313,16 +316,17 @@ def inner_step(
     m = poly.A.shape[0]
     chol_reg = opts.chol_reg
     ul = opts.unroll_limit
+    ax = opts.spmd_axis
 
     if n - m > opts.projected_cauchy_threshold:
         s0, aset0 = cauchy_step_projected(
             x, g, H, poly, delta, atol,
             kappa1=opts.kappa1, gamma_c=opts.gamma_c,
-            max_trials=opts.cauchy_max_trials, chol_reg=chol_reg,
+            max_trials=opts.cauchy_max_trials, chol_reg=chol_reg, axis=ax,
         )
     else:
-        s0, aset0 = cauchy_step(x, g, H, poly, delta, atol, chol_reg, unroll_limit=ul)
-    g_minor0 = hv(H, s0) + g
+        s0, aset0 = cauchy_step(x, g, H, poly, delta, atol, chol_reg, unroll_limit=ul, axis=ax)
+    g_minor0 = hv(H, s0, ax) + g
 
     nrg0 = norm_reduced_gradient(poly, aset0, g)
     nrgm0 = norm_reduced_gradient(poly, aset0, g_minor0)
@@ -349,11 +353,12 @@ def inner_step(
     def body(c: _MinorCarry):
         aset = ActiveSet(fixed=c.fixed, chol=c.chol)
         w, cg_status, cg_iters = minor_iterate(
-            x, c.s, c.g_minor, H, poly, aset, delta, opts.kappa2, unroll_limit=ul
+            x, c.s, c.g_minor, H, poly, aset, delta, opts.kappa2,
+            unroll_limit=ul, axis=ax,
         )
         cg_stop = cg_status == CG_NEGATIVE_CURVATURE
         s = c.s + w
-        g_minor = hv(H, s) + g
+        g_minor = hv(H, s, ax) + g
 
         # New bounds hit by the cumulated step inside the TR box (ref :439).
         at_bound = step_active_bounds(poly, x, s, delta, atol)
@@ -381,6 +386,6 @@ def inner_step(
         )
 
     out = run_bounded(cond, body, c0, max_trips=min(opts.max_minor_iter, n - m), unroll_limit=ul)
-    pred = jnp.vdot(g, out.s) + 0.5 * vhv(H, out.s)  # ref :458
+    pred = jnp.vdot(g, out.s) + 0.5 * vhv(H, out.s, ax)  # ref :458
     stats = InnerStats(minor_iters=out.j - 1, cg_iters=out.cg_total)
     return out.s, pred, ActiveSet(fixed=out.fixed, chol=out.chol), stats

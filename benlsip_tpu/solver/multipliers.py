@@ -16,7 +16,8 @@ Array = jax.Array
 
 
 def least_squares_multipliers(
-    x: Array, residuals, jac_res, jac_nlcons, method: str = "qr"
+    x: Array, residuals, jac_res, jac_nlcons, method: str = "qr",
+    axis: str | None = None,
 ) -> Array:
     """Initial estimate y = argmin_y ‖Cᵀ y + Jᵀ r‖ (the least-squares
     multipliers; ref `src/basic_tralcnlss.jl:887-903`).
@@ -27,7 +28,9 @@ def least_squares_multipliers(
     the Pallas MGS kernel's design point under vmap) and solves the
     triangular system R y = -Qᵀ(Jᵀ r): identical solution, κ(C)-accurate.
     """
-    g = jac_res(x).T @ residuals(x)
+    from ..ops.al import _psum
+
+    g = _psum(jac_res(x).T @ residuals(x), axis)  # row-sharded contraction
     C = jac_nlcons(x)
     p = C.shape[0]
     if p == 0:

@@ -102,6 +102,13 @@ class SolverOptions:
     # (solver/multipliers.py): QR of Cᵀ vs Cholesky of CCᵀ (ref :897-901).
     tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
     chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
+    spmd_axis: Optional[str] = None
+    # Mesh-axis name the residual dimension is sharded over when the solve
+    # runs INSIDE shard_map (the explicit-collectives blocked mode,
+    # dist/sharded.py:solve_large_blocked_shardmap): every d-contraction
+    # (rᵀr, Jᵀr, JᵀJ, ‖Jv‖²) then carries one explicit psum through
+    # dist/collectives.py.  None (default) = unsharded and pjit modes,
+    # where XLA inserts the collectives from sharding constraints instead.
     unroll_limit: int = 0
     # Static trip-count threshold below which the bounded inner loops
     # (Cauchy walk, projected CG, minor iterations) compile as masked

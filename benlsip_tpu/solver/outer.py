@@ -93,6 +93,7 @@ def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCa
     y0 = least_squares_multipliers(
         x0, fns.residuals, fns.jac_res, fns.jac_nlcons,
         method="normal" if opts.gn_factorization == "normal" else "qr",
+        axis=opts.spmd_axis,
     )
     return OuterCarry(
         x=x0,
@@ -160,12 +161,13 @@ def outer_body(fns, poly: Polyhedron, opts: SolverOptions, atol: float, c: Outer
 
     if opts.verbose:
         from ..harness.logging import emit_outer_iter
+        from ..ops.al import _psum
 
         rxn = fns.residuals(x)
         jax.debug.callback(
             emit_outer_iter,
             c.outer + 1,
-            jnp.vdot(rxn, rxn),
+            _psum(jnp.vdot(rxn, rxn), opts.spmd_axis),
             feas,
             mu_next,
             sub.pix,
@@ -242,4 +244,7 @@ def solve_fixed_point(
         # the converged estimate is the y_bar = y + mu·c its own gradient used.
         y_final = jnp.where(out.critical, out.y + out.mu * out.cx, out.y)
         rx = fns.residuals(out.x)
-        return out.x, y_final, carry_info(out, opts, objective=0.5 * jnp.vdot(rx, rx))
+        from ..ops.al import _psum
+
+        obj = _psum(0.5 * jnp.vdot(rx, rx), opts.spmd_axis)
+        return out.x, y_final, carry_info(out, opts, objective=obj)

@@ -113,9 +113,11 @@ def solve_subproblem(
     iteration count.
     """
     dtype = x0.dtype
+    ax = opts.spmd_axis
 
     rx0, cx0, _, mx0, g0, H0 = new_point(
-        x0, y, mu, fns.residuals, fns.nlconstraints, fns.jac_res, fns.jac_nlcons
+        x0, y, mu, fns.residuals, fns.nlconstraints, fns.jac_res, fns.jac_nlcons,
+        axis=ax,
     )
     # Static (shape-based) decision: materialize an (n,n) operator when the
     # Jacobian is tall enough that streaming it per H·v dominates (see
@@ -131,7 +133,11 @@ def solve_subproblem(
         opts.gn_factorization == "auto"
         and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
     )
-    materialize = (lambda H: with_r_factor(H) if use_qr else with_gram(H)) if use_op else (lambda H: H)
+    if ax is not None and use_op and use_qr:
+        # No distributed QR exists; the explicit-collectives mode reduces
+        # through the Gram psum (same reasoning as _resolve_blocked_options).
+        use_qr = False
+    materialize = (lambda H: with_r_factor(H) if use_qr else with_gram(H, ax)) if use_op else (lambda H: H)
     H0 = materialize(H0)
     delta0 = initial_tr(g0, opts.tr_factor)
 
@@ -162,7 +168,7 @@ def solve_subproblem(
         s, pred, aset, istats = inner_step(c.x, c.g, c.H, poly, c.delta, opts, atol)
         x_next = c.x + s
         rx_next, cx_next, mx_next = evaluate_al(
-            x_next, y, mu, fns.residuals, fns.nlconstraints
+            x_next, y, mu, fns.residuals, fns.nlconstraints, axis=ax
         )
         ared = mx_next - c.mx                    # ref :353 (negative-good)
         rho = ared / pred                        # ref :354
@@ -193,7 +199,7 @@ def solve_subproblem(
             Jn = fns.jac_res(x_next)
             Cn = fns.jac_nlcons(x_next)
             y_bar = y + mu * cx_next
-            gn = al_gradient(Jn, Cn, rx_next, y_bar)
+            gn = al_gradient(Jn, Cn, rx_next, y_bar, axis=ax)
             Hn = materialize(AlHessian(Jn, Cn, mu))
             return gn, Hn
 

@@ -1,0 +1,90 @@
+"""Explicit-collectives blocked mode (SURVEY.md §2.5 SP/CP row):
+`solve_large_blocked_shardmap` runs the whole solver inside shard_map with
+hand-placed psums from dist/collectives.py.  Pins
+
+* numerical parity with the pjit (XLA-inserted collectives) blocked path,
+* parity with the plain unsharded solve,
+* that the compiled program's collectives are exactly the expected psums
+  (all-reduces), nothing else.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from benlsip_tpu.batch.vmap_solve import BatchedProblem
+from benlsip_tpu.dist.mesh import make_mesh
+from benlsip_tpu.dist.sharded import (
+    solve_large_blocked_family,
+    solve_large_blocked_shardmap,
+)
+from benlsip_tpu.solver.options import SolverOptions
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
+def _family(n=96, d=512, m=4, seed=2):
+    rng = np.random.default_rng(seed)
+    J = jnp.asarray(rng.standard_normal((d, n)) / np.sqrt(d))
+    x_true = rng.standard_normal(n)
+    y = J @ jnp.asarray(x_true) + 0.01 * jnp.asarray(rng.standard_normal(d))
+    A = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(n))
+    theta = {"J": J, "y": y}
+    bp = BatchedProblem(
+        residuals=lambda x, th: th["J"] @ x - th["y"],
+        jac_res=lambda x, th: th["J"],
+        A=A,
+        b=A @ jnp.asarray(x_true),
+        xl=jnp.full(n, -3.0),
+        xu=jnp.full(n, 3.0),
+    )
+    return bp, theta, jnp.zeros(n), n, d
+
+
+def test_shardmap_blocked_matches_pjit_blocked():
+    bp, theta, x0, n, d = _family()
+    mesh = make_mesh(batch=1, block=8)
+    opts = SolverOptions(max_outer_iter=8, max_inner_iter=40)
+    x_s, y_s, i_s = solve_large_blocked_shardmap(bp, theta, x0, opts, mesh)
+    x_p, y_p, i_p = solve_large_blocked_family(bp, theta, x0, opts, mesh)
+    assert bool(i_s.converged) and bool(i_p.converged)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_p), rtol=1e-8, atol=1e-10)
+
+
+def test_shardmap_blocked_collectives_are_psums_only():
+    from bench_scaling import collective_stats
+
+    from benlsip_tpu.dist.sharded import _blocked_shardmap_runner, _resolve_blocked_options
+    import dataclasses
+
+    bp, theta, x0, n, d = _family()
+    mesh = make_mesh(batch=1, block=8)
+    opts = dataclasses.replace(
+        _resolve_blocked_options(SolverOptions(max_outer_iter=4, max_inner_iter=8)),
+        spmd_axis="block",
+        gram_hessian="on",
+    )
+    poly = bp.polyhedron(n, x0.dtype)
+    fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+    runner = _blocked_shardmap_runner(fns_key, opts, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    theta_p = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("block", *([None] * (a.ndim - 1)))))
+        if a.ndim >= 1 and a.shape[0] % 8 == 0
+        else jax.device_put(a, NamedSharding(mesh, P())),
+        theta,
+    )
+    compiled = runner.lower(poly, x0, theta_p).compile()
+    counts, _ = collective_stats(compiled.as_text())
+    # Every hand-placed collective is a psum -> all-reduce in HLO; the
+    # explicit schedule must not have smuggled in gathers/scatters.
+    assert set(counts) <= {"all-reduce"}, counts
+    assert counts.get("all-reduce", 0) > 0
