@@ -99,7 +99,7 @@ def _spawn(dir_, B, sweep_chunk, chunk, throttle=0.0, compare=None):
 
 def _finish(proc, tag):
     out = proc.stdout.read().decode()
-    if proc.returncode not in (0, None) and proc.poll() != 0:
+    if proc.returncode != 0:
         sys.stderr.write(out[-4000:])
         raise RuntimeError(f"{tag} worker failed rc={proc.returncode}")
     for line in out.splitlines():
