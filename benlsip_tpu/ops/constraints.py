@@ -203,12 +203,19 @@ def is_feasible(poly: Polyhedron, x: Array, rtol: float = 1e-8) -> Array:
     """Feasibility check: Ax ≈ b and xl ≤ x ≤ xu.
 
     Mirrors `is_feasible` (ref `src/basic_tralcnlss.jl:142-150`), which uses
-    `isapprox(A*x, b)` — i.e. ‖Ax - b‖ ≤ rtol·max(‖Ax‖, ‖b‖).
+    `isapprox(A*x, b)` — i.e. ‖Ax - b‖ ≤ rtol·max(‖Ax‖, ‖b‖) — with one
+    deliberate deviation: Julia's `isapprox` degenerates for homogeneous
+    systems (b = 0 forces ‖Ax‖ ≤ rtol·‖Ax‖, i.e. exact zero — HS52/53-type
+    problems always test "infeasible" in the reference).  The scale here
+    adds the backward-error term ‖A‖_F·‖x‖, under which a point is feasible
+    when the residual is explainable by rounding of the matvec itself.
     """
     ax = poly.A @ x
-    lin_ok = jnp.linalg.norm(ax - poly.b) <= rtol * jnp.maximum(
-        jnp.linalg.norm(ax), jnp.linalg.norm(poly.b)
-    ) + jnp.finfo(x.dtype).tiny
+    scale = jnp.maximum(
+        jnp.maximum(jnp.linalg.norm(ax), jnp.linalg.norm(poly.b)),
+        jnp.linalg.norm(poly.A) * jnp.linalg.norm(x),
+    )
+    lin_ok = jnp.linalg.norm(ax - poly.b) <= rtol * scale + jnp.finfo(x.dtype).tiny
     bounds_ok = jnp.all(poly.xl <= x) & jnp.all(x <= poly.xu)
     if poly.A.shape[0] == 0:
         return bounds_ok
