@@ -3,9 +3,11 @@
 SURVEY.md §2.5/§5 requires the communication backend as a first-class,
 nameable component: JAX collectives over ICI/DCN replace the reference's
 (nonexistent) MPI/NCCL layer.  The declarative sharding paths
-(`dist/sharded.py`) never call these — XLA inserts collectives — but the
-hand-scheduled paths (communication-avoiding CG, Pallas ring kernels) and
-tests use them through this single module so the solver core stays
+(`dist/sharded.py`) never call these — XLA inserts collectives — while the
+explicit-collectives blocked mode (`solve_large_blocked_shardmap`) reaches
+them through `SolverOptions.spmd_axis`: `psum` for every d-contraction,
+`psum_scatter`/`ring_psum_scatter` + `all_gather` for the row-sharded Gram
+layout (`ops/al.with_gram_rows`).  One module so the solver core stays
 mesh-agnostic.
 """
 from __future__ import annotations
@@ -42,6 +44,39 @@ def ppermute_ring(x, axis: str, shift: int = 1):
     n = lax.axis_size(axis)
     perm = [(i, (i + shift) % n) for i in range(n)]
     return lax.ppermute(x, axis, perm)
+
+
+def ring_psum_scatter(x, axis: str):
+    """Hand-scheduled ring reduce-scatter over the leading axis of `x`.
+
+    Semantically identical to `psum_scatter(x, axis, tiled=True)` — device i
+    ends with rows [i·n/D, (i+1)·n/D) of the cross-device sum — but built
+    from D−1 explicit `ppermute` hops, each moving one (n/D, …) chunk one
+    step around the ring while the receiver adds its local contribution.
+    This is the ring/blockwise-accumulation pattern SURVEY.md §5 maps onto
+    this domain (the structural analog of ring attention): per-device wire
+    traffic is (D−1)/D of the full array, half a psum's 2(D−1)/D, and the
+    unrolled schedule exposes each add/permute pair to XLA's async
+    collective overlap instead of one monolithic reduce.
+
+    Invariant: at step t device j sends the partial sum of chunk
+    (j−1−t) mod D accumulated over devices j−t..j; after D−1 hops chunk j
+    has visited every device and rests, fully reduced, at device j.
+    """
+    D = lax.axis_size(axis)
+    if x.shape[0] % D:
+        raise ValueError(f"leading axis {x.shape[0]} not divisible by ring size {D}")
+    rows = x.shape[0] // D
+    idx = lax.axis_index(axis)
+
+    def chunk(c):
+        return lax.dynamic_slice_in_dim(x, c * rows, rows, axis=0)
+
+    buf = chunk((idx - 1) % D)
+    for t in range(D - 1):  # D is static: unrolled so XLA can overlap hops
+        buf = ppermute_ring(buf, axis, 1)
+        buf = buf + chunk((idx - 2 - t) % D)
+    return buf
 
 
 def axis_index(axis: str):

@@ -259,6 +259,19 @@ def solve_large_blocked_shardmap(
     Use this path to control the communication schedule directly (e.g. to
     overlap or batch reductions); numerically it is the same algorithm —
     tests pin parity with the pjit path on the virtual mesh.
+
+    Communication/memory layout knobs (SolverOptions):
+
+    * ``gram_layout="sharded"`` keeps the materialized Gram operator
+      row-sharded across 'block' (reduce-scatter refresh at half the psum
+      traffic, n²/D memory per device, one tiled n-vector all_gather per
+      matvec) — required once the replicated (n, n) operator outgrows HBM
+      (n=40k ⇒ 6.4 GB f32 per device replicated).  Requires n divisible
+      by the 'block' axis size.
+    * ``reduce_schedule="ring"`` swaps the reduce-scatter for the
+      hand-scheduled D−1-hop ppermute ring (dist/collectives.py), the
+      schedule to reach for when overlapping the refresh GEMM with the
+      hops matters (pod-scale ICI).
     """
     import dataclasses
 

@@ -55,6 +55,9 @@ class AlHessian(NamedTuple):
     mu: Array   # scalar penalty parameter
     G: Array | None = None   # optional (n, n) Gram matrix JᵀJ + mu CᵀC
     R: Array | None = None   # optional (k, n) QR factor of [J; sqrt(mu)·C]
+    G_rows: Array | None = None  # optional (n/D, n) row shard of G (see
+                                 # `with_gram_rows`): this device's rows of
+                                 # the reduced Gram, under shard_map only
 
 
 def _psum(x, axis):
@@ -96,6 +99,43 @@ def with_gram(H: AlHessian, axis: str | None = None) -> AlHessian:
     return AlHessian(H.J, H.C, H.mu, G)
 
 
+def with_gram_rows(H: AlHessian, axis: str, schedule: str = "xla") -> AlHessian:
+    """Materialize the Gram operator ROW-SHARDED across `axis` (shard_map only).
+
+    The replicated `with_gram` all-reduces the full (n, n) partial product
+    onto every device (2(D−1)/D·n² wire bytes each) and stores n² per
+    device.  Here each device keeps only its n/D rows of the reduced Gram:
+
+    * build:  reduce-scatter of the local partial JᵀJ — (D−1)/D·n² traffic,
+      half the psum, via `lax.psum_scatter` (schedule="xla") or the
+      hand-scheduled `ppermute` ring (schedule="ring",
+      dist/collectives.ring_psum_scatter);
+    * memory: n²/D per device — the layout that keeps config-4-scale
+      operators (n=40k ⇒ 6.4 GB f32 replicated) inside HBM;
+    * H·v:    local (n/D, n) GEMV + one tiled n-vector `all_gather`
+      ((D−1)/D·n per matvec; the replicated layout's matvec is free, so
+      this trades one small gather per CG iteration for the halved refresh
+      and the D× memory headroom — the right side of the trade whenever
+      n² ≫ (CG iters per refresh)·n).
+
+    The μCᵀC term is added locally on this device's row block (C is
+    replicated and p is small: slice C's columns, no (n, n) temporary).
+    """
+    from ..dist.collectives import axis_index, psum_scatter, ring_psum_scatter
+
+    n = H.J.shape[1]
+    D = jax.lax.axis_size(axis)
+    if n % D:
+        raise ValueError(f"n={n} not divisible by mesh axis size {D} for the sharded Gram layout")
+    partial = H.J.T @ H.J
+    rows = ring_psum_scatter(partial, axis) if schedule == "ring" else psum_scatter(partial, axis)
+    rows_per = n // D
+    start = axis_index(axis) * rows_per
+    C_loc = jax.lax.dynamic_slice_in_dim(H.C, start, rows_per, axis=1)  # (p, n/D)
+    rows = rows + H.mu * (C_loc.T @ H.C)
+    return AlHessian(H.J, H.C, H.mu, None, None, rows)
+
+
 def with_r_factor(H: AlHessian) -> AlHessian:
     """Materialize R from a thin QR of S = [J; sqrt(mu)·C] into the operator.
 
@@ -124,6 +164,12 @@ def hv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
     already-reduced operator; with a QR factor (see `with_r_factor`), the
     pair Rᵀ(Rv) — same traffic, κ instead of κ² rounding.
     """
+    if H.G_rows is not None:
+        # Row-sharded Gram (see `with_gram_rows`): this device computes its
+        # n/D rows of Gv, one tiled all_gather assembles the full vector.
+        from ..dist.collectives import all_gather
+
+        return all_gather(H.G_rows @ v, axis)
     if H.R is not None:
         return H.R.T @ (H.R @ v)
     if H.G is not None:
@@ -139,6 +185,8 @@ def vhv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
     test curvature against scale-relative tolerances (solver/cg.py), never
     against exact zero.
     """
+    if H.G_rows is not None:
+        return jnp.vdot(v, hv(H, v, axis))
     if H.R is not None:
         Rv = H.R @ v
         return jnp.vdot(Rv, Rv)

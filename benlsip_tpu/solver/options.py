@@ -109,6 +109,20 @@ class SolverOptions:
     # (rᵀr, Jᵀr, JᵀJ, ‖Jv‖²) then carries one explicit psum through
     # dist/collectives.py.  None (default) = unsharded and pjit modes,
     # where XLA inserts the collectives from sharding constraints instead.
+    gram_layout: str = "replicated"
+    # Layout of the materialized Gram operator under spmd_axis.
+    # "replicated": one n² psum per refresh, every device stores the full
+    # (n, n) G, matvecs are local.  "sharded": reduce-scatter instead
+    # (half the refresh traffic, n²/D memory per device — mandatory once
+    # n² no longer fits replicated), matvecs pay one tiled n-vector
+    # all_gather (ops/al.with_gram_rows).  Ignored when spmd_axis is None
+    # or the operator is not materialized.
+    reduce_schedule: str = "xla"
+    # How the sharded-Gram reduce-scatter is scheduled: "xla" =
+    # lax.psum_scatter (one fused collective), "ring" = the hand-scheduled
+    # D−1-hop ppermute ring (dist/collectives.ring_psum_scatter), which
+    # exposes each hop to XLA's async-collective overlap — the knob for
+    # controlling the communication schedule directly on pod-scale meshes.
     unroll_limit: int = 0
     # Static trip-count threshold below which the bounded inner loops
     # (Cauchy walk, projected CG, minor iterations) compile as masked

@@ -19,7 +19,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.al import AlHessian, al_gradient, evaluate_al, new_point, with_gram, with_r_factor
+from ..ops.al import (
+    AlHessian,
+    al_gradient,
+    evaluate_al,
+    new_point,
+    with_gram,
+    with_gram_rows,
+    with_r_factor,
+)
 from ..ops.constraints import ActiveSet, Polyhedron
 from ..ops.polyproject import projection_polyhedron
 from ..ops.project import norm_reduced_gradient
@@ -137,7 +145,13 @@ def solve_subproblem(
         # No distributed QR exists; the explicit-collectives mode reduces
         # through the Gram psum (same reasoning as _resolve_blocked_options).
         use_qr = False
-    materialize = (lambda H: with_r_factor(H) if use_qr else with_gram(H, ax)) if use_op else (lambda H: H)
+    if use_op and not use_qr and ax is not None and opts.gram_layout == "sharded":
+        # Row-sharded Gram: reduce-scatter the refresh, all_gather per
+        # matvec (ops/al.with_gram_rows; SolverOptions.gram_layout).
+        gram = lambda H: with_gram_rows(H, ax, opts.reduce_schedule)
+    else:
+        gram = lambda H: with_gram(H, ax)
+    materialize = (lambda H: with_r_factor(H) if use_qr else gram(H)) if use_op else (lambda H: H)
     H0 = materialize(H0)
     delta0 = initial_tr(g0, opts.tr_factor)
 

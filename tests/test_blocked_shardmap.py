@@ -88,3 +88,86 @@ def test_shardmap_blocked_collectives_are_psums_only():
     # explicit schedule must not have smuggled in gathers/scatters.
     assert set(counts) <= {"all-reduce"}, counts
     assert counts.get("all-reduce", 0) > 0
+
+
+def test_ring_psum_scatter_matches_lax():
+    """dist/collectives.ring_psum_scatter ≡ lax.psum_scatter(tiled=True)."""
+    import functools
+
+    from benlsip_tpu.dist.collectives import ring_psum_scatter
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(batch=1, block=8)
+    rng = np.random.default_rng(0)
+    # One distinct (16, 5) partial per device, sharded in as (128, 5).
+    x = jnp.asarray(rng.standard_normal((8 * 16, 5)))
+
+    def run(fn):
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=P("block"), out_specs=P("block"), check_vma=False
+            )
+        )(x)
+
+    ring = run(lambda a: ring_psum_scatter(a, "block"))
+    ref = run(lambda a: jax.lax.psum_scatter(a, "block", tiled=True))
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(ref), rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("schedule", ["xla", "ring"])
+def test_sharded_gram_layout_matches_replicated(schedule):
+    """gram_layout="sharded" (both reduce schedules) reproduces the
+    replicated-Gram blocked solve and the pjit path."""
+    import dataclasses
+
+    bp, theta, x0, n, d = _family()
+    mesh = make_mesh(batch=1, block=8)
+    base = SolverOptions(max_outer_iter=8, max_inner_iter=40)
+    opts_s = dataclasses.replace(base, gram_layout="sharded", reduce_schedule=schedule)
+    x_s, y_s, i_s = solve_large_blocked_shardmap(bp, theta, x0, opts_s, mesh)
+    x_r, y_r, i_r = solve_large_blocked_shardmap(bp, theta, x0, base, mesh)
+    assert bool(i_s.converged) and bool(i_r.converged)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_r), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_r), rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_gram_collective_mix():
+    """The sharded-Gram program reduce-scatters the refresh and gathers the
+    matvec: HLO must contain reduce-scatter + all-gather (xla schedule) or
+    collective-permute (ring schedule), alongside the scalar psums."""
+    from bench_scaling import collective_stats
+
+    from benlsip_tpu.dist.sharded import _blocked_shardmap_runner, _resolve_blocked_options
+    import dataclasses
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bp, theta, x0, n, d = _family()
+    mesh = make_mesh(batch=1, block=8)
+
+    def compile_with(schedule):
+        opts = dataclasses.replace(
+            _resolve_blocked_options(SolverOptions(max_outer_iter=4, max_inner_iter=8)),
+            spmd_axis="block",
+            gram_hessian="on",
+            gram_layout="sharded",
+            reduce_schedule=schedule,
+        )
+        poly = bp.polyhedron(n, x0.dtype)
+        fns_key = (bp.residuals, bp.nlconstraints, bp.jac_res, bp.jac_nlcons)
+        runner = _blocked_shardmap_runner(fns_key, opts, mesh)
+        theta_p = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P("block", *([None] * (a.ndim - 1)))))
+            if a.ndim >= 1 and a.shape[0] % 8 == 0
+            else jax.device_put(a, NamedSharding(mesh, P())),
+            theta,
+        )
+        counts, _ = collective_stats(runner.lower(poly, x0, theta_p).compile().as_text())
+        return counts
+
+    xla = compile_with("xla")
+    assert xla.get("reduce-scatter", 0) > 0, xla   # the Gram refresh
+    assert xla.get("all-gather", 0) > 0, xla       # the per-matvec assembly
+
+    ring = compile_with("ring")
+    assert ring.get("collective-permute", 0) > 0, ring  # the D−1 ring hops
+    assert ring.get("all-gather", 0) > 0, ring
