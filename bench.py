@@ -72,7 +72,7 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host"):
     return min(walls), conv, walls
 
 
-def _time_numpy_baseline(theta, b_all, X0, k):
+def _time_numpy_baseline(bp, theta, X0, k):
     """Tight single-core numpy solve of k instances (the measured baseline).
 
     numpy is single-threaded here for small (32x3) shapes (OpenBLAS kicks in
@@ -85,11 +85,14 @@ def _time_numpy_baseline(theta, b_all, X0, k):
 
     t_np = np.asarray(theta["t"][:k])
     y_np = np.asarray(theta["y"][:k])
-    b_np = np.asarray(b_all[:k])
+    b_np = np.asarray(bp.b[:k])
     X0_np = np.asarray(X0[:k])
-    A_np = np.array([[1.0, 0.0, 1.0]])
-    xl = np.array([-10.0, 0.05, -10.0])
-    xu = np.array([10.0, 5.0, 10.0])
+    # Constraint data comes from the SAME family the pipeline solves — a
+    # hand-retyped copy here would silently decouple the baseline problem
+    # from the benchmarked one if exp_fit_family ever changes.
+    A_np = np.asarray(bp.A)
+    xl = np.asarray(bp.xl)
+    xu = np.asarray(bp.xu)
     t0 = time.perf_counter()
     _, conv = solve_exp_fit_numpy(t_np, y_np, A_np, b_np, xl, xu, X0_np)
     dt = time.perf_counter() - t0
@@ -136,7 +139,7 @@ def main():
     # Primary baseline: tight single-core numpy (the reference's execution
     # model, measured — VERDICT round 1 item 3).
     k_np = 64
-    dt_np, conv_np = _time_numpy_baseline(theta, bp.b, X0, k_np)
+    dt_np, conv_np = _time_numpy_baseline(bp, theta, X0, k_np)
     np_rate = max(conv_np, 1) / dt_np
 
     # Secondary: this framework's own pipeline with the bulk phase on CPU —

@@ -185,7 +185,11 @@ def solve_batched_chunked(
             )
         )
     if tail:
-        size = 1 << (tail - 1).bit_length()  # next power of two ≥ tail
+        # Next power of two ≥ tail, but never above the caller's chunk cap:
+        # `chunk` exists to respect a per-launch instance limit (the tunnel
+        # faults above ~512 per program), so a non-power-of-two cap must not
+        # be rounded past.
+        size = min(1 << (tail - 1).bit_length(), chunk)
         pad = size - tail
         sl = slice(n_full * chunk, B)
         grab = lambda a: a[sl]

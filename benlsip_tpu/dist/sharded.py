@@ -283,8 +283,10 @@ def solve_large_blocked_shardmap(
         # The matrix-free Hv/vhv forms also psum correctly via spmd_axis,
         # but the Gram operator pays one n² reduce per refresh instead of
         # one n-vector psum per CG iteration — the right trade at blocked
-        # scale (docs/SCALING.md).
-        gram_hessian="on",
+        # scale (docs/SCALING.md).  Only the "auto" default is resolved:
+        # an explicit "off" (e.g. n so large even the n²/D sharded rows
+        # don't fit HBM) stays matrix-free.
+        gram_hessian="on" if options.gram_hessian == "auto" else options.gram_hessian,
     )
     n = x0.shape[0]
     poly = bp.polyhedron(n, x0.dtype)

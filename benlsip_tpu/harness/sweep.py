@@ -108,7 +108,21 @@ class CheckpointedSweep:
         # restore may hand back read-only leaves.  The only droppable-empty
         # leaf is Y — (B, p) with p=0 for unconstrained families; every
         # other buffer is (B,) or (B, n) with n >= 1.
-        buffers = {k: np.array(v) for k, v in self._mgr.restore(step).items()}
+        raw = dict(self._mgr.restore(step))
+        # Step k means "chunks [0, k) of THIS geometry are done" — a resume
+        # with a different B or sweep_chunk would silently present zero
+        # buffers as results for the re-partitioned instances.  Refuse it.
+        geom = raw.pop("meta_geometry", None)
+        if geom is not None:
+            gB, gchunk = (int(v) for v in np.asarray(geom))
+            if gB != B or gchunk != self.sweep_chunk:
+                raise ValueError(
+                    f"checkpoint in {self.dir} was written with B={gB}, "
+                    f"sweep_chunk={gchunk}; this run has B={B}, "
+                    f"sweep_chunk={self.sweep_chunk} — refusing to resume "
+                    "across sweep geometries (use a fresh directory)"
+                )
+        buffers = {k: np.array(v) for k, v in raw.items()}
         if "Y" not in buffers:
             buffers["Y"] = np.zeros((B, 0), dtype)
         return buffers
@@ -129,6 +143,8 @@ class CheckpointedSweep:
         ocp = _ocp()
         B = X0.shape[0]
         n_chunks = math.ceil(B / self.sweep_chunk)
+        if n_chunks == 0:
+            raise ValueError("empty sweep: B == 0")
 
         start = 0
         buffers = None
@@ -165,18 +181,18 @@ class CheckpointedSweep:
                 buffers["info_" + f][sl] = leaf
             # Orbax refuses zero-size arrays; an unconstrained family's Y is
             # (B, 0).  Drop empties on save, reconstruct on restore.
-            self._mgr.save(
-                k + 1,
-                args=ocp.args.StandardSave({b: v for b, v in buffers.items() if v.size}),
-            )
+            save_dict = {b: v for b, v in buffers.items() if v.size}
+            save_dict["meta_geometry"] = np.array([B, self.sweep_chunk], np.int64)
+            self._mgr.save(k + 1, args=ocp.args.StandardSave(save_dict))
             done += 1
             if self.throttle_s and k + 1 < n_chunks:
                 self._mgr.wait_until_finished()
                 time.sleep(self.throttle_s)
         self._mgr.wait_until_finished()
 
-        if buffers is None:  # resumed with every chunk already checkpointed
-            buffers = self._restore(n_chunks, B, X0.dtype)
+        # buffers is always set here: either restored from `latest` (which
+        # also covers "every chunk already checkpointed", where the loop
+        # body never runs) or allocated by the first chunk (n_chunks >= 1).
         info = SolveInfo(*[buffers["info_" + f] for f in SolveInfo._fields])
         return buffers["X"], buffers["Y"], info, start
 

@@ -40,6 +40,23 @@ def _pallas_eligible(shape, dtype) -> bool:
     return 0 < N <= _PALLAS_MAX_N and N <= D <= _PALLAS_MAX_D and jnp.dtype(dtype) in _PALLAS_DTYPES
 
 
+def _xla_qr(S: Array, mode: str):
+    """jnp.linalg.qr with bf16 handled by an f32 round trip.
+
+    No backend ships a bf16 QR kernel (LAPACK on CPU, the Householder
+    lowering on TPU are f32/f64 only) — a bf16 input crashes at trace time.
+    Computing in f32 and rounding back matches the Pallas MGS kernel's
+    accumulation precision.
+    """
+    S32 = S.astype(jnp.float32) if S.dtype == jnp.dtype(jnp.bfloat16) else S
+    out = jnp.linalg.qr(S32, mode=mode)
+    if mode == "r":
+        return out.astype(S.dtype)
+    # Plain tuple, not the QRResult NamedTuple: the Pallas branch of
+    # lax.platform_dependent returns a tuple and pytree structures must match.
+    return out[0].astype(S.dtype), out[1].astype(S.dtype)
+
+
 @custom_vmap
 def thin_qr(S: Array):
     """Thin QR of one (D, N) matrix -> (Q (D, K), R (K, N)), K = min(D, N).
@@ -47,7 +64,7 @@ def thin_qr(S: Array):
     Batching over instances dispatches to the Pallas MGS kernel when the
     column count is small (the batched-small regime: N = p or n ≤ ~16).
     """
-    q, r = jnp.linalg.qr(S, mode="reduced")
+    q, r = _xla_qr(S, "reduced")
     return q, r
 
 
@@ -60,13 +77,11 @@ def _thin_qr_vmap(axis_size, in_batched, S):
         from ..kernels.batched_linalg import batched_thin_qr
 
         def _xla(a):
-            q, r = jnp.linalg.qr(a, mode="reduced")
-            return q, r
+            return _xla_qr(a, "reduced")
 
         out = lax.platform_dependent(S, cpu=_xla, default=batched_thin_qr)
     else:
-        q, r = jnp.linalg.qr(S, mode="reduced")
-        out = (q, r)
+        out = _xla_qr(S, "reduced")
     return out, (True, True)
 
 
@@ -78,7 +93,7 @@ def qr_r(S: Array) -> Array:
     Batched small-N instances hit the Pallas kernel (Q discarded — the MGS
     kernel materializes it in VMEM anyway; the HBM write is what's saved).
     """
-    return jnp.linalg.qr(S, mode="r")
+    return _xla_qr(S, "r")
 
 
 @qr_r.def_vmap
@@ -91,9 +106,9 @@ def _qr_r_vmap(axis_size, in_batched, S):
 
         out = lax.platform_dependent(
             S,
-            cpu=lambda a: jnp.linalg.qr(a, mode="r"),
+            cpu=lambda a: _xla_qr(a, "r"),
             default=lambda a: batched_thin_qr(a)[1],
         )
     else:
-        out = jnp.linalg.qr(S, mode="r")
+        out = _xla_qr(S, "r")
     return out, True

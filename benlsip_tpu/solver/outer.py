@@ -90,9 +90,16 @@ def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCa
     cx0 = fns.nlconstraints(x0)
     mu0 = jnp.asarray(opts.mu0, dtype)
     omega0, eta0 = initial_tolerances(mu0, opts.omega0, opts.eta0, opts.k_crit, opts.k_feas)
+    # Same dtype-aware "auto" resolution as the operator build
+    # (solver/subproblem.py): QR-of-Cᵀ where κ² eats the f32/bf16 budget,
+    # the reference's Cholesky-of-CCᵀ algebra (ref :897-901) for f64.
+    use_qr_mult = opts.gn_factorization == "qr" or (
+        opts.gn_factorization == "auto"
+        and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+    )
     y0 = least_squares_multipliers(
         x0, fns.residuals, fns.jac_res, fns.jac_nlcons,
-        method="normal" if opts.gn_factorization == "normal" else "qr",
+        method="qr" if use_qr_mult else "normal",
         axis=opts.spmd_axis,
     )
     return OuterCarry(

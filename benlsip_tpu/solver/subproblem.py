@@ -142,8 +142,18 @@ def solve_subproblem(
         and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
     )
     if ax is not None and use_op and use_qr:
-        # No distributed QR exists; the explicit-collectives mode reduces
-        # through the Gram psum (same reasoning as _resolve_blocked_options).
+        # No distributed QR exists.  An explicit request must not be
+        # silently downgraded — the user asked for κ-grade accuracy the
+        # Gram route cannot deliver; fail loudly at trace time.  The "auto"
+        # resolution reduces through the Gram psum instead (same reasoning
+        # as _resolve_blocked_options).
+        if opts.gn_factorization == "qr":
+            raise ValueError(
+                "gn_factorization='qr' is unavailable under spmd_axis (shard_map "
+                "blocked mode): no distributed QR exists.  Use the pjit blocked "
+                "path (which all-gathers J per refresh) to force QR, or leave "
+                "gn_factorization='auto'."
+            )
         use_qr = False
     if use_op and not use_qr and ax is not None and opts.gram_layout == "sharded":
         # Row-sharded Gram: reduce-scatter the refresh, all_gather per

@@ -65,3 +65,18 @@ def test_dense_family_medium():
         np.testing.assert_allclose(A @ np.asarray(X[i]), b, atol=1e-7)
         assert np.all(np.asarray(X[i]) >= -0.8 - 1e-9)
         assert np.all(np.asarray(X[i]) <= 0.8 + 1e-9)
+
+
+def test_chunked_tail_padding_respects_non_pow2_chunk_cap():
+    """The ragged tail pads to the next power of two but must never exceed
+    the caller's chunk cap (the cap exists as a per-program instance limit):
+    chunk=6, B=11 -> tail=5 would round to 8 > 6 without the clamp."""
+    from benlsip_tpu.batch.vmap_solve import solve_batched, solve_batched_chunked
+    from benlsip_tpu.problems.generators import exp_fit_family
+
+    bp, theta, X0 = exp_fit_family(11, d=16, seed=7)
+    opts = SolverOptions(max_outer_iter=25, max_inner_iter=80)
+    Xc, Yc, infoc = solve_batched_chunked(bp, theta, X0, opts, chunk=6)
+    X, Y, info = solve_batched(bp, theta, X0, opts)
+    assert bool(jnp.all(infoc.converged))
+    np.testing.assert_allclose(np.asarray(Xc), np.asarray(X), rtol=1e-10, atol=1e-12)

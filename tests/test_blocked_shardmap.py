@@ -171,3 +171,34 @@ def test_sharded_gram_collective_mix():
     ring = compile_with("ring")
     assert ring.get("collective-permute", 0) > 0, ring  # the D−1 ring hops
     assert ring.get("all-gather", 0) > 0, ring
+
+
+def test_explicit_qr_under_spmd_axis_raises():
+    """gn_factorization='qr' cannot be honored under shard_map (no
+    distributed QR); it must fail loudly instead of silently running the
+    Gram route the user rejected."""
+    import dataclasses
+
+    bp, theta, x0, n, d = _family()
+    mesh = make_mesh(batch=1, block=8)
+    opts = dataclasses.replace(
+        SolverOptions(max_outer_iter=4, max_inner_iter=8), gn_factorization="qr"
+    )
+    with pytest.raises(ValueError, match="distributed QR"):
+        solve_large_blocked_shardmap(bp, theta, x0, opts, mesh)
+
+
+def test_shardmap_respects_explicit_gram_off():
+    """An explicit gram_hessian='off' must stay matrix-free in the blocked
+    shard_map mode (only 'auto' is resolved to 'on') — and still converge
+    to the same solution."""
+    import dataclasses
+
+    bp, theta, x0, n, d = _family()
+    mesh = make_mesh(batch=1, block=8)
+    base = SolverOptions(max_outer_iter=8, max_inner_iter=40)
+    opts_off = dataclasses.replace(base, gram_hessian="off")
+    x_mf, y_mf, i_mf = solve_large_blocked_shardmap(bp, theta, x0, opts_off, mesh)
+    x_g, y_g, i_g = solve_large_blocked_shardmap(bp, theta, x0, base, mesh)
+    assert bool(i_mf.converged) and bool(i_g.converged)
+    np.testing.assert_allclose(np.asarray(x_mf), np.asarray(x_g), rtol=1e-7, atol=1e-9)

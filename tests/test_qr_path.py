@@ -163,3 +163,24 @@ def test_split_polish_qr_beats_lu_ill_conditioned():
     # QR matches the f64 certification set.
     assert (ok_qr == ok_h).all()
     assert ok_qr.sum() >= 4
+
+
+def test_qr_bf16_batched_cpu_fallback():
+    """bf16 is Pallas-eligible but no backend has a bf16 QR kernel: the XLA
+    fallback paths must round-trip through f32 instead of crashing."""
+    import numpy as np
+
+    from benlsip_tpu.ops.qr import qr_r, thin_qr
+
+    rng = np.random.default_rng(5)
+    S = jnp.asarray(rng.standard_normal((4, 16, 3)), jnp.bfloat16)
+    R = jax.vmap(qr_r)(S)                       # crashed before the fix
+    Q, R2 = jax.vmap(thin_qr)(S)
+    assert R.dtype == jnp.bfloat16 and Q.dtype == jnp.bfloat16
+    # RtR == StS to bf16 grade.
+    StS = jnp.einsum("bdi,bdj->bij", S.astype(jnp.float32), S.astype(jnp.float32))
+    RtR = jnp.einsum("bki,bkj->bij", R.astype(jnp.float32), R.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(RtR), np.asarray(StS), rtol=0.1, atol=0.1)
+    # Large-N (non-Pallas) branch.
+    S2 = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.bfloat16)
+    assert jax.vmap(qr_r)(S2).shape == (2, 32, 32)

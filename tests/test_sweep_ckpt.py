@@ -102,3 +102,32 @@ def test_sweep_stop_after_chunks_resumes(tmp_path):
         bp, OPTS, str(tmp_path / "ref"), sweep_chunk=SWEEP_CHUNK, mixed_precision=False
     ).run(theta, X0)
     assert np.array_equal(X2, X_ref) and np.array_equal(Y2, Y_ref)
+
+
+def test_sweep_refuses_geometry_mismatch_on_resume(tmp_path):
+    """A checkpoint written with one (B, sweep_chunk) must not resume a run
+    with another: step k means 'chunks [0,k) of THAT partition are done',
+    so a silent resume would return zero buffers as results."""
+    bp, theta, X0 = _family()
+    d = str(tmp_path / "geom")
+    sweep = CheckpointedSweep(bp, OPTS, d, sweep_chunk=SWEEP_CHUNK, mixed_precision=False)
+    with pytest.raises(RuntimeError):
+        sweep.run(theta, X0, stop_after_chunks=2)
+
+    # Same directory, different chunking -> refuse.
+    bad = CheckpointedSweep(bp, OPTS, d, sweep_chunk=2 * SWEEP_CHUNK, mixed_precision=False)
+    with pytest.raises(ValueError, match="geometr"):
+        bad.run(theta, X0)
+
+    # Same directory, different B -> refuse.
+    bp2, theta2, X02 = _family()
+    half = slice(0, B // 2)
+    import jax as _jax
+    with pytest.raises(ValueError, match="geometr"):
+        CheckpointedSweep(bp2, OPTS, d, sweep_chunk=SWEEP_CHUNK, mixed_precision=False).run(
+            _jax.tree.map(lambda a: a[half], theta2), X02[half]
+        )
+
+    # Matching geometry still resumes and completes.
+    X, Y, info, resumed = sweep.run(theta, X0)
+    assert resumed == 2 and bool(np.all(info.converged))
