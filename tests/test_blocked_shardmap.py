@@ -92,8 +92,6 @@ def test_shardmap_blocked_collectives_are_psums_only():
 
 def test_ring_psum_scatter_matches_lax():
     """dist/collectives.ring_psum_scatter ≡ lax.psum_scatter(tiled=True)."""
-    import functools
-
     from benlsip_tpu.dist.collectives import ring_psum_scatter
     from jax.sharding import PartitionSpec as P
 
