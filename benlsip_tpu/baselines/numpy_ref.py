@@ -230,6 +230,57 @@ def solve_one_numpy(
     }
 
 
+def solve_family_numpy(
+    make_instance, B, A, b, xl, xu, X0, crit_tol=_SQEPS, b_per_instance=None,
+):
+    """Sequential single-core solve of a problem family (generic driver).
+
+    `make_instance(i)` returns the numpy callables
+    (residuals, jac_res, nlconstraints, jac_nlcons) for instance i — the
+    BatchedProblem-style factory restated for host numpy (BASELINE.md
+    measurement contract: the baseline must execute the reference's model —
+    one core, dynamic shapes, no framework dispatch).  Returns
+    (X, conv_count, total_nfev).
+    """
+    X = np.empty_like(X0)
+    conv = 0
+    nfev = 0
+    for i in range(B):
+        residuals, jac_res, nlconstraints, jac_nlcons = make_instance(i)
+        bi = b_per_instance[i] if b_per_instance is not None else b
+        xi, _, info = solve_one_numpy(
+            residuals, jac_res, nlconstraints, jac_nlcons, A, bi, xl, xu, X0[i],
+            crit_tol=crit_tol,
+        )
+        X[i] = xi
+        conv += int(info["converged"])
+        nfev += info["nfev"]
+    return X, conv, nfev
+
+
+def solve_dense_lsq_numpy(J, Y, A, b, xl, xu, X0, crit_tol=_SQEPS):
+    """Single-core numpy baseline for the config-3 workload
+    (dense_quadratic_family: r(x) = J x − y, shared J, per-instance
+    targets, linear equalities + active-at-solution bounds) — the dense
+    medium-n counterpart of `solve_exp_fit_numpy`, closing the round-2
+    gap where configs 3/5 had no measured external baseline.
+
+    Returns (X, conv_count).
+    """
+    n = J.shape[1]
+    no_nl = lambda x: np.zeros(0)
+    no_nl_jac = lambda x: np.zeros((0, n))
+
+    def make_instance(i):
+        yi = Y[i]
+        return (lambda x: J @ x - yi), (lambda x: J), no_nl, no_nl_jac
+
+    X, conv, _ = solve_family_numpy(
+        make_instance, Y.shape[0], A, b, xl, xu, X0, crit_tol=crit_tol
+    )
+    return X, conv
+
+
 def solve_exp_fit_numpy(theta_t, theta_y, A, b_all, xl, xu, X0, crit_tol=_SQEPS):
     """Sequential single-core solve of the bench's config-2 workload
     (exp_fit_family: y ≈ a·exp(−b t) + c, bounds + one linear equality),

@@ -79,6 +79,27 @@ def ring_psum_scatter(x, axis: str):
     return buf
 
 
+def ring_psum_scatter_lazy(make_chunk, axis: str):
+    """Ring reduce-scatter whose local contributions are built LAZILY.
+
+    Same schedule and result as `ring_psum_scatter`, but the caller's full
+    local array never exists: `make_chunk(c)` (c a traced chunk index in
+    [0, D)) materializes just this device's contribution to global chunk c
+    at the moment the ring needs it.  Peak live memory is two chunks (the
+    travelling buffer + the freshly built contribution) instead of the
+    whole D-chunk local partial — the build-transient fix for the
+    row-sharded Gram layout (ops/al.with_gram_rows), where the dense
+    partial JᵀJ is (n, n) but each contribution is only (n/D, n).
+    """
+    D = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    buf = make_chunk((idx - 1) % D)
+    for t in range(D - 1):  # D is static: unrolled so XLA can overlap hops
+        buf = ppermute_ring(buf, axis, 1)
+        buf = buf + make_chunk((idx - 2 - t) % D)
+    return buf
+
+
 def axis_index(axis: str):
     return lax.axis_index(axis)
 

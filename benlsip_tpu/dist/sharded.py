@@ -166,13 +166,17 @@ def blocked_jacobian_fns(fns: NLSFunctions, mesh: Mesh) -> NLSFunctions:
 def _resolve_blocked_options(options: SolverOptions) -> SolverOptions:
     """Blocked mode resolves gn_factorization="auto" to "normal".
 
-    XLA has no distributed QR: with J row-sharded over 'block', the QR
-    route would all-gather the full (d, n) Jacobian every operator refresh
-    (measured: 16.8 MB/iter at n=2048/d=8192/block=2 vs ~4 KB/iter for the
-    Gram path, whose JᵀJ partial products psum only (n,n) — and XLA reuses
-    the local GEMM).  The conditioning argument for QR is also weakest
-    here: the blocked instances run f32 with "highest" matmul precision
-    and certify through the f64 phases.  Users can still force "qr".
+    XLA has no distributed Householder QR: with J row-sharded over
+    'block', the "qr" route would all-gather the full (d, n) Jacobian
+    every operator refresh (measured: 16.8 MB/iter at n=2048/d=8192/
+    block=2 vs ~4 KB/iter for the Gram path, whose JᵀJ partial products
+    psum only (n,n) — and XLA reuses the local GEMM).  "cholqr2" IS
+    distributable (its Gram passes psum, J stays local) and is the route
+    to force when κ-grade accuracy matters in the blocked f32 bulk; it is
+    not the auto default here because its refresh costs ~3 Gram-GEMM
+    passes and the blocked pipeline already defends conditioning with
+    matmul_precision="highest" plus the f64 certify phases — the measured
+    config-4 wall is refresh-heavy, so auto keeps the cheapest refresh.
     """
     import dataclasses
 

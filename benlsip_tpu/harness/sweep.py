@@ -113,15 +113,26 @@ class CheckpointedSweep:
         # with a different B or sweep_chunk would silently present zero
         # buffers as results for the re-partitioned instances.  Refuse it.
         geom = raw.pop("meta_geometry", None)
-        if geom is not None:
-            gB, gchunk = (int(v) for v in np.asarray(geom))
-            if gB != B or gchunk != self.sweep_chunk:
-                raise ValueError(
-                    f"checkpoint in {self.dir} was written with B={gB}, "
-                    f"sweep_chunk={gchunk}; this run has B={B}, "
-                    f"sweep_chunk={self.sweep_chunk} — refusing to resume "
-                    "across sweep geometries (use a fresh directory)"
-                )
+        if geom is None:
+            # Pre-meta_geometry checkpoint: the guard below cannot run, so a
+            # stale directory resumed under a different B/sweep_chunk would
+            # silently present zero-filled buffers as results.  Refuse
+            # rather than guess; re-running without resume (or in a fresh
+            # directory) rewrites the checkpoint with geometry metadata.
+            raise ValueError(
+                f"checkpoint in {self.dir} predates geometry metadata "
+                "(no meta_geometry leaf): cannot verify it matches "
+                f"B={B}, sweep_chunk={self.sweep_chunk}.  Resume refused — "
+                "restart the sweep with resume=False or a fresh directory."
+            )
+        gB, gchunk = (int(v) for v in np.asarray(geom))
+        if gB != B or gchunk != self.sweep_chunk:
+            raise ValueError(
+                f"checkpoint in {self.dir} was written with B={gB}, "
+                f"sweep_chunk={gchunk}; this run has B={B}, "
+                f"sweep_chunk={self.sweep_chunk} — refusing to resume "
+                "across sweep geometries (use a fresh directory)"
+            )
         buffers = {k: np.array(v) for k, v in raw.items()}
         if "Y" not in buffers:
             buffers["Y"] = np.zeros((B, 0), dtype)

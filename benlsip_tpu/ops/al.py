@@ -58,6 +58,11 @@ class AlHessian(NamedTuple):
     G_rows: Array | None = None  # optional (n/D, n) row shard of G (see
                                  # `with_gram_rows`): this device's rows of
                                  # the reduced Gram, under shard_map only
+    R_rows: Array | None = None  # optional (n/D, n) row shard of the
+                                 # CholeskyQR2 factor R (see
+                                 # `with_r_factor_cholqr2` layout="sharded"):
+                                 # H·v = Σ_shards R_rowsᵀ(R_rows v) via one
+                                 # n-vector psum, n²/D persistent per device
 
 
 def _psum(x, axis):
@@ -109,9 +114,17 @@ def with_gram_rows(H: AlHessian, axis: str, schedule: str = "xla") -> AlHessian:
     * build:  reduce-scatter of the local partial JᵀJ — (D−1)/D·n² traffic,
       half the psum, via `lax.psum_scatter` (schedule="xla") or the
       hand-scheduled `ppermute` ring (schedule="ring",
-      dist/collectives.ring_psum_scatter);
-    * memory: n²/D per device — the layout that keeps config-4-scale
-      operators (n=40k ⇒ 6.4 GB f32 replicated) inside HBM;
+      dist/collectives.ring_psum_scatter_lazy);
+    * memory: n²/D *persistent* per device — the layout that keeps
+      config-4-scale operators (n=40k ⇒ 6.4 GB f32 replicated) inside HBM.
+      The build *transient* differs by schedule: "xla" materializes the
+      full (n, n) local partial JᵀJ before the fused collective (peak ~n²,
+      so it shrinks only the persistent footprint), while "ring" never
+      forms it — each of the D ring hops computes one (n/D, n) row-chunk
+      Jᵀ[:, chunk] J on the fly and adds it into the travelling buffer
+      (peak ~2n²/D, at the cost of re-reading J once per hop).  At the
+      n=40k scale where the layout is mandatory, "ring" is therefore the
+      only schedule whose *build* also fits;
     * H·v:    local (n/D, n) GEMV + one tiled n-vector `all_gather`
       ((D−1)/D·n per matvec; the replicated layout's matvec is free, so
       this trades one small gather per CG iteration for the halved refresh
@@ -121,15 +134,23 @@ def with_gram_rows(H: AlHessian, axis: str, schedule: str = "xla") -> AlHessian:
     The μCᵀC term is added locally on this device's row block (C is
     replicated and p is small: slice C's columns, no (n, n) temporary).
     """
-    from ..dist.collectives import axis_index, psum_scatter, ring_psum_scatter
+    from ..dist.collectives import axis_index, psum_scatter, ring_psum_scatter_lazy
 
     n = H.J.shape[1]
     D = jax.lax.axis_size(axis)
     if n % D:
         raise ValueError(f"n={n} not divisible by mesh axis size {D} for the sharded Gram layout")
-    partial = H.J.T @ H.J
-    rows = ring_psum_scatter(partial, axis) if schedule == "ring" else psum_scatter(partial, axis)
     rows_per = n // D
+    if schedule == "ring":
+        def chunk(c):
+            # This device's contribution to row-chunk c of the global Gram:
+            # (n/D, n) built blockwise so the full (n, n) partial never exists.
+            Jc = jax.lax.dynamic_slice_in_dim(H.J, c * rows_per, rows_per, axis=1)
+            return Jc.T @ H.J
+
+        rows = ring_psum_scatter_lazy(chunk, axis)
+    else:
+        rows = psum_scatter(H.J.T @ H.J, axis)
     start = axis_index(axis) * rows_per
     C_loc = jax.lax.dynamic_slice_in_dim(H.C, start, rows_per, axis=1)  # (p, n/D)
     rows = rows + H.mu * (C_loc.T @ H.C)
@@ -154,6 +175,63 @@ def with_r_factor(H: AlHessian) -> AlHessian:
     return AlHessian(H.J, H.C, H.mu, None, qr_r(S))
 
 
+def with_r_factor_cholqr2(
+    H: AlHessian, axis: str | None = None, layout: str = "replicated"
+) -> AlHessian:
+    """Materialize R with RᵀR = JᵀJ + mu CᵀC via CholeskyQR2 (ops/qr.cholqr2_r).
+
+    The TPU-shaped route to the orthogonal factor: three GEMM-class passes
+    (Gram build, right-triangular solve, refinement Gram) instead of XLA's
+    panel-serialized Householder QR — the same accuracy class (κ·eps after
+    the second pass; any κ via the shift rescue) at the 97%-MFU kernel mix.
+
+    Unlike the Householder route this *distributes*: with J row-sharded
+    over `axis` the two Gram passes reduce (n, n) partials with the
+    existing psum machinery and the triangular solves act on purely local
+    row blocks — no all-gather of J, which is what made Householder QR
+    unavailable under shard_map (solver/subproblem.py).  The μ CᵀC term
+    is added locally (C replicated, p small), mirroring `with_gram`.
+
+    layout="sharded" (requires `axis`) keeps only this device's n/D rows
+    of R: H·v then costs one n-vector psum (hv below) and the persistent
+    footprint is n²/D — matching the sharded-Gram layout's memory story.
+    The build transient is still n² (the replicated chol); a fully
+    distributed factorization is out of scope, same as chol(G) itself.
+
+    Same LAPACK-surface replacement as `with_r_factor`
+    (ref `/root/reference/src/basic_tralcnlss.jl:206, 897-901`).
+    """
+    from .qr import _rescued_chol_upper
+
+    dtype = H.J.dtype
+    compute = jnp.float32 if dtype == jnp.dtype(jnp.bfloat16) else dtype
+    J = H.J.astype(compute)
+    C = H.C.astype(compute)
+    mu = H.mu.astype(compute)
+    G = _psum(J.T @ J, axis) + mu * (C.T @ C)
+    R1 = _rescued_chol_upper(G)
+    WJ = jax.lax.linalg.triangular_solve(R1, J, left_side=False, lower=False)
+    WC = jax.lax.linalg.triangular_solve(
+        R1, jnp.sqrt(mu) * C, left_side=False, lower=False
+    )
+    G2 = _psum(WJ.T @ WJ, axis) + WC.T @ WC
+    R2 = _rescued_chol_upper(G2)
+    R = (R2 @ R1).astype(dtype)
+    if axis is not None and layout == "sharded":
+        from ..dist.collectives import axis_index
+
+        n = R.shape[0]
+        D = jax.lax.axis_size(axis)
+        if n % D:
+            raise ValueError(
+                f"n={n} not divisible by mesh axis size {D} for the sharded R layout"
+            )
+        rows_per = n // D
+        R_rows = jax.lax.dynamic_slice_in_dim(R, axis_index(axis) * rows_per, rows_per, axis=0)
+        return AlHessian(H.J, H.C, H.mu, None, None, None, R_rows)
+    return AlHessian(H.J, H.C, H.mu, None, R)
+
+
 def hv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
     """Matrix-free H @ v = Jᵀ(Jv) + mu Cᵀ(Cv)  (ref `src/basic_tralcnlss.jl:102-106`).
 
@@ -164,6 +242,10 @@ def hv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
     already-reduced operator; with a QR factor (see `with_r_factor`), the
     pair Rᵀ(Rv) — same traffic, κ instead of κ² rounding.
     """
+    if H.R_rows is not None:
+        # Row-sharded CholeskyQR2 factor (see `with_r_factor_cholqr2`):
+        # RᵀRv = Σ_shards R_rowsᵀ(R_rows v) — one n-vector psum, no gather.
+        return _psum(H.R_rows.T @ (H.R_rows @ v), axis)
     if H.G_rows is not None:
         # Row-sharded Gram (see `with_gram_rows`): this device computes its
         # n/D rows of Gv, one tiled all_gather assembles the full vector.
@@ -185,8 +267,20 @@ def vhv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
     test curvature against scale-relative tolerances (solver/cg.py), never
     against exact zero.
     """
+    if H.R_rows is not None:
+        # ‖Rv‖² = Σ_shards ‖R_rows v‖²: local GEMV + one scalar psum.
+        Rv_loc = H.R_rows @ v
+        return _psum(jnp.vdot(Rv_loc, Rv_loc), axis)
     if H.G_rows is not None:
-        return jnp.vdot(v, hv(H, v, axis))
+        # Local partial vᵀ(Gv): this shard's rows of Gv dotted with the
+        # matching slice of the replicated v, then one scalar psum — the
+        # full-vector all_gather in hv() is unnecessary for a scalar.
+        from ..dist.collectives import axis_index
+
+        rows_per = H.G_rows.shape[0]
+        start = axis_index(axis) * rows_per
+        v_loc = jax.lax.dynamic_slice_in_dim(v, start, rows_per)
+        return _psum(jnp.vdot(v_loc, H.G_rows @ v), axis)
     if H.R is not None:
         Rv = H.R @ v
         return jnp.vdot(Rv, Rv)

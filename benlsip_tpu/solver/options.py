@@ -90,16 +90,23 @@ class SolverOptions:
     # mixed-precision pipeline has no accuracy headroom for at default
     # tolerances (the f64 phases are indifferent).
     gn_factorization: str = "auto"
-    # "normal"/"qr"/"auto": HOW the materialized (n,n) Hessian operator is
-    # built when `gram_hessian` turns materialization on.  "normal" forms
-    # the Gram matrix G = JᵀJ + mu CᵀC (one GEMM, but everything below
-    # κ(J)²·eps rounds away); "qr" takes the thin-QR factor R of
-    # [J; sqrt(mu)C] (RᵀR = G exactly, accurate to κ(J)·eps, ~2-4x the
-    # refresh flops) — the BASELINE north-star "QR+PCG" route.  "auto"
-    # picks "qr" for f32/bf16 working dtypes (where κ² eats the entire
-    # accuracy budget: eps(f32)·κ² > 1 already at κ ~ 3e3) and "normal"
-    # for f64.  Also selects the multiplier estimate's algebra
-    # (solver/multipliers.py): QR of Cᵀ vs Cholesky of CCᵀ (ref :897-901).
+    # "normal"/"qr"/"cholqr2"/"auto": HOW the materialized (n,n) Hessian
+    # operator is built when `gram_hessian` turns materialization on.
+    # "normal" forms the Gram matrix G = JᵀJ + mu CᵀC (one GEMM, but
+    # everything below κ(J)²·eps rounds away); "qr" takes the thin-QR
+    # factor R of [J; sqrt(mu)C] via blocked Householder (RᵀR = G exactly,
+    # accurate to κ(J)·eps, but panel-serialized — 27% of peak at large
+    # shapes and not distributable); "cholqr2" builds the same R through
+    # CholeskyQR2 (ops/qr.cholqr2_r): three GEMM-class passes at the
+    # 97%-MFU kernel mix, κ-grade after the refinement pass (any κ via the
+    # shift rescue), and distributable — under spmd_axis the Gram passes
+    # psum and J is never gathered — the BASELINE north-star "QR+PCG"
+    # route at scale.  "auto" picks "normal" for f64 and, for f32/bf16
+    # working dtypes (where κ² eats the entire accuracy budget:
+    # eps(f32)·κ² > 1 already at κ ~ 3e3), "qr" at small n (Pallas MGS
+    # under vmap) or "cholqr2" at n ≥ 64 / under spmd_axis.  Also selects
+    # the multiplier estimate's algebra (solver/multipliers.py): QR of Cᵀ
+    # vs Cholesky of CCᵀ (ref :897-901).
     tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
     chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
     spmd_axis: Optional[str] = None

@@ -93,7 +93,7 @@ def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCa
     # Same dtype-aware "auto" resolution as the operator build
     # (solver/subproblem.py): QR-of-Cᵀ where κ² eats the f32/bf16 budget,
     # the reference's Cholesky-of-CCᵀ algebra (ref :897-901) for f64.
-    use_qr_mult = opts.gn_factorization == "qr" or (
+    use_qr_mult = opts.gn_factorization in ("qr", "cholqr2") or (
         opts.gn_factorization == "auto"
         and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
     )

@@ -27,6 +27,7 @@ from ..ops.al import (
     with_gram,
     with_gram_rows,
     with_r_factor,
+    with_r_factor_cholqr2,
 )
 from ..ops.constraints import ActiveSet, Polyhedron
 from ..ops.polyproject import projection_polyhedron
@@ -137,31 +138,41 @@ def solve_subproblem(
     use_op = opts.gram_hessian == "on" or (
         opts.gram_hessian == "auto" and n >= 64 and d_plus_p >= 2 * n
     )
-    use_qr = opts.gn_factorization == "qr" or (
-        opts.gn_factorization == "auto"
-        and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
-    )
-    if ax is not None and use_op and use_qr:
-        # No distributed QR exists.  An explicit request must not be
-        # silently downgraded — the user asked for κ-grade accuracy the
-        # Gram route cannot deliver; fail loudly at trace time.  The "auto"
-        # resolution reduces through the Gram psum instead (same reasoning
-        # as _resolve_blocked_options).
-        if opts.gn_factorization == "qr":
-            raise ValueError(
-                "gn_factorization='qr' is unavailable under spmd_axis (shard_map "
-                "blocked mode): no distributed QR exists.  Use the pjit blocked "
-                "path (which all-gathers J per refresh) to force QR, or leave "
-                "gn_factorization='auto'."
-            )
-        use_qr = False
-    if use_op and not use_qr and ax is not None and opts.gram_layout == "sharded":
+    fact = opts.gn_factorization
+    if fact == "auto":
+        if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            # κ² eats the f32/bf16 budget → orthogonal route.  At large n
+            # (or distributed) the GEMM-shaped CholeskyQR2 replaces XLA's
+            # panel-serialized Householder (measured 27% of peak at
+            # config-4 shapes); small batched instances keep the Pallas
+            # MGS path behind `qr_r`.
+            fact = "cholqr2" if (ax is not None or n >= 64) else "qr"
+        else:
+            fact = "normal"
+    if fact == "qr" and ax is not None:
+        # No distributed Householder QR exists.  An explicit request must
+        # not be silently downgraded — raised regardless of whether the
+        # operator is materialized (no-silent-downgrade policy).
+        raise ValueError(
+            "gn_factorization='qr' (Householder) is unavailable under "
+            "spmd_axis (shard_map blocked mode).  Use "
+            "gn_factorization='cholqr2' — the GEMM-shaped orthogonal route, "
+            "which reduces (n, n) Grams through the existing psum machinery "
+            "and never gathers J — or leave gn_factorization='auto'."
+        )
+    if not use_op:
+        materialize = lambda H: H
+    elif fact == "qr":
+        materialize = lambda H: with_r_factor(H)
+    elif fact == "cholqr2":
+        layout = opts.gram_layout if ax is not None else "replicated"
+        materialize = lambda H: with_r_factor_cholqr2(H, ax, layout)
+    elif ax is not None and opts.gram_layout == "sharded":
         # Row-sharded Gram: reduce-scatter the refresh, all_gather per
         # matvec (ops/al.with_gram_rows; SolverOptions.gram_layout).
-        gram = lambda H: with_gram_rows(H, ax, opts.reduce_schedule)
+        materialize = lambda H: with_gram_rows(H, ax, opts.reduce_schedule)
     else:
-        gram = lambda H: with_gram(H, ax)
-    materialize = (lambda H: with_r_factor(H) if use_qr else gram(H)) if use_op else (lambda H: H)
+        materialize = lambda H: with_gram(H, ax)
     H0 = materialize(H0)
     delta0 = initial_tr(g0, opts.tr_factor)
 

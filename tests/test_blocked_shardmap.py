@@ -182,7 +182,7 @@ def test_explicit_qr_under_spmd_axis_raises():
     opts = dataclasses.replace(
         SolverOptions(max_outer_iter=4, max_inner_iter=8), gn_factorization="qr"
     )
-    with pytest.raises(ValueError, match="distributed QR"):
+    with pytest.raises(ValueError, match="Householder"):
         solve_large_blocked_shardmap(bp, theta, x0, opts, mesh)
 
 
