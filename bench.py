@@ -117,6 +117,75 @@ def _time_sequential_cpu(bp, theta, X0, opts, k):
     return dt, conv
 
 
+def _config3_summary(dev):
+    """Config-3 (dense n=192, d=1024, B=64) rate + measured numpy baseline.
+
+    Grounds the mid-size regime's vs_baseline in the SAME headline JSON
+    line the driver records (VERDICT r2 item 1): the baseline is the
+    single-core numpy active-set solver on a sample of the same workload.
+    """
+    import numpy as np
+
+    from benlsip_tpu.baselines.numpy_ref import solve_dense_lsq_numpy
+    from benlsip_tpu.problems.generators import dense_quadratic_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    B, n, d = 64, 192, 1024
+    opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
+    bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
+    dt, conv, _ = _time_pipeline(bp, theta, X0, opts, dev, chunk=B)
+    rate = conv / dt
+
+    k = 8
+    J_np = np.asarray(bp.jac_res(X0[0], jax.tree.map(lambda a: a[0], theta)))
+    t0 = time.perf_counter()
+    _, conv_np = solve_dense_lsq_numpy(
+        J_np, np.asarray(theta["y"][:k]), np.asarray(bp.A), np.asarray(bp.b),
+        np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
+    )
+    np_dt = time.perf_counter() - t0
+    np_rate = max(conv_np, 1) / np_dt
+    return {
+        "config3_rate": round(rate, 2),
+        "config3_wall_s": round(dt, 3),
+        "config3_converged_frac": round(conv / B, 4),
+        "config3_baseline_rate": round(np_rate, 3),
+        "config3_baseline_converged_frac": round(conv_np / k, 4),
+        "config3_vs_baseline": round(rate / np_rate, 1),
+    }
+
+
+def _config5_summary(dev, B=16384):
+    """Config-5 sweep rate + measured numpy baseline on ITS instances."""
+    import numpy as np
+
+    from benlsip_tpu.baselines.numpy_ref import solve_exp_fit_numpy
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=7, dtype=jnp.float64)
+    dt, conv, _ = _time_pipeline(bp, theta, X0, opts, dev)
+    rate = conv / dt
+
+    k = 64
+    t0 = time.perf_counter()
+    _, conv_np = solve_exp_fit_numpy(
+        np.asarray(theta["t"][:k]), np.asarray(theta["y"][:k]),
+        np.asarray(bp.A), np.asarray(bp.b[:k]),
+        np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
+    )
+    np_dt = time.perf_counter() - t0
+    np_rate = max(conv_np, 1) / np_dt
+    return {
+        "config5_rate": round(rate, 1),
+        "config5_batch": B,
+        "config5_converged_frac": round(conv / B, 4),
+        "config5_baseline_rate": round(np_rate, 1),
+        "config5_vs_baseline": round(rate / np_rate, 1),
+    }
+
+
 def main():
     from benlsip_tpu.problems.generators import exp_fit_family
     from benlsip_tpu.solver.options import SolverOptions
@@ -153,6 +222,19 @@ def main():
     dt_s, conv_s = _time_sequential_cpu(bp, theta, X0, opts, k)
     seq_rate = max(conv_s, 1) / dt_s
 
+    # Configs 3 and 5 with their own measured baselines, folded into the
+    # headline line so the driver-recorded BENCH json carries all three
+    # grounded ratios.
+    extra = {}
+    try:
+        extra.update(_config3_summary(dev))
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        extra["config3_error"] = repr(e)[:200]
+    try:
+        extra.update(_config5_summary(dev))
+    except Exception as e:  # pragma: no cover
+        extra["config5_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -175,6 +257,7 @@ def main():
                 "sequential_jax_rate": round(seq_rate, 3),
                 "vs_sequential_jax": round(rate / seq_rate, 2),
                 "device": str(dev),
+                **extra,
             }
         )
     )

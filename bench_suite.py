@@ -102,6 +102,31 @@ def config3(results, B=64, n=192, d=1024):
 
     opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
     bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
+
+    # Measured single-core numpy baseline on the SAME workload (BASELINE.md
+    # measurement contract: no comparison without a measured reference-model
+    # rate).  A sample amortizes: per-instance cost is iid across targets.
+    from benlsip_tpu.baselines.numpy_ref import solve_dense_lsq_numpy
+
+    k = min(16, B)
+    t0 = time.perf_counter()
+    _, conv_np = solve_dense_lsq_numpy(
+        np.asarray(bp.jac_res(X0[0], jax.tree.map(lambda a: a[0], theta))),
+        np.asarray(theta["y"][:k]),
+        np.asarray(bp.A), np.asarray(bp.b),
+        np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
+    )
+    np_dt = time.perf_counter() - t0
+    np_rate = conv_np / np_dt if conv_np else float("nan")
+    results.append(
+        {
+            "config": 3,
+            "case": f"dense_n{n}_d{d}_numpy_baseline_k{k}",
+            "wall_s": round(np_dt, 4),
+            "problems_per_sec": round(np_rate, 3),
+            "converged_frac": round(conv_np / k, 4),
+        }
+    )
     # Reference-model path: f64 batched solve on host.
     with jax.default_device(jax.devices("cpu")[0]):
         dt, (X, Y, info) = _bench(lambda: solve_batched(bp, theta, X0, opts))
@@ -133,6 +158,7 @@ def config3(results, B=64, n=192, d=1024):
             "wall_s": round(dt, 4),
             "problems_per_sec_kkt1e-8": round(conv / dt, 2),
             "converged_frac": round(conv / B, 4),
+            "vs_baseline": round((conv / dt) / np_rate, 2),
         }
     )
 
@@ -187,6 +213,31 @@ def config5(results, B=16384, full=False):
         B = 102400
     opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
     bp, theta, X0 = exp_fit_family(B, d=32, seed=7, dtype=jnp.float64)
+
+    # Measured single-core numpy baseline on a sample of THIS sweep's
+    # instances (seed 7 — not the config-2 seed): per-instance cost is iid,
+    # so the sampled rate is the sweep's single-core rate.
+    from benlsip_tpu.baselines.numpy_ref import solve_exp_fit_numpy
+
+    k = min(128, B)
+    t0 = time.perf_counter()
+    _, conv_np = solve_exp_fit_numpy(
+        np.asarray(theta["t"][:k]), np.asarray(theta["y"][:k]),
+        np.asarray(bp.A), np.asarray(bp.b[:k]),
+        np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
+    )
+    np_dt = time.perf_counter() - t0
+    np_rate = conv_np / np_dt if conv_np else float("nan")
+    results.append(
+        {
+            "config": 5,
+            "case": f"sweep_numpy_baseline_k{k}",
+            "wall_s": round(np_dt, 4),
+            "problems_per_sec": round(np_rate, 1),
+            "converged_frac": round(conv_np / k, 4),
+        }
+    )
+
     dt, (X, Y, info) = _bench(lambda: solve_mixed_precision(bp, theta, X0, opts))
     conv = int(jnp.sum(info.converged))
     results.append(
@@ -196,6 +247,7 @@ def config5(results, B=16384, full=False):
             "wall_s": round(dt, 4),
             "problems_per_sec_kkt1e-8": round(conv / dt, 1),
             "converged_frac": round(conv / B, 4),
+            "vs_baseline": round((conv / dt) / np_rate, 1),
         }
     )
 

@@ -124,11 +124,24 @@ def solve_one_numpy(
     max_outer=40,
     max_inner=200,
     active_tol=1e-9,
+    step_rule="boundary",
 ):
     """Single-instance constrained-NLS solve, pure numpy, single core.
 
     residuals/jac_res/nlconstraints/jac_nlcons: numpy callables of x.
     Returns (x, y, info dict with pix/feas/converged/inner_evals).
+
+    step_rule: how a KKT step that leaves the box is handled.
+    "boundary" (default) steps fraction-to-boundary — preserves Ax = b
+    exactly, required once many bounds are active (config-3 scale: ~85/192
+    coords at a bound, where clipping breaks linear feasibility faster
+    than the KKT correction restores it).  "clip" projects the full step
+    into the box and lets the next KKT solve's −e term heal the small
+    Ax − b violation — fewer, longer steps, measurably faster on tiny-n
+    families with few active bounds (config 2: 225/s vs 98/s), and
+    certified by the same exact-projection oracle either way.  Each
+    workload's baseline uses the FASTER rule that certifies, which is the
+    honest direction to err in.
     """
     n = x0.size
     m = A.shape[0]
@@ -181,8 +194,32 @@ def solve_one_numpy(
             pg = project_polyhedron_np(x - gL, A, b, xl, xu) - x
             if np.linalg.norm(pg) <= inner_tol:
                 break
-            dx, _nu = _kkt_step(J, raug, A, e, fixed, lam_lm)
-            xn = np.clip(x + dx, xl, xu)
+            if step_rule == "clip":
+                dx, _nu = _kkt_step(J, raug, A, e, fixed, lam_lm)
+                xn = np.clip(x + dx, xl, xu)
+            else:
+                # Fraction-to-boundary step: stepping to the first blocking
+                # bound (instead of clipping x + dx into the box) preserves
+                # Ax = b exactly.  A coordinate sitting on its bound with
+                # the step pushing outward blocks at t = 0: fix it and
+                # re-solve.
+                for _ in range(8):
+                    dx, _nu = _kkt_step(J, raug, A, e, fixed, lam_lm)
+                    blocked = ((x - xl <= active_tol * (1.0 + np.abs(x))) & (dx < 0)) | (
+                        (xu - x <= active_tol * (1.0 + np.abs(x))) & (dx > 0)
+                    )
+                    if not blocked.any():
+                        break
+                    fixed = fixed | blocked
+                t = 1.0
+                pos = dx > 1e-300
+                neg = dx < -1e-300
+                if pos.any():
+                    t = min(t, float(np.min((xu[pos] - x[pos]) / dx[pos])))
+                if neg.any():
+                    t = min(t, float(np.min((xl[neg] - x[neg]) / dx[neg])))
+                t = max(t, 0.0)
+                xn = np.clip(x + t * dx, xl, xu)  # clip only cleans roundoff
             raug_n, c_n = al_fns(xn, y, mu)
             nfev += 1
             fn = 0.5 * float(raug_n @ raug_n)
@@ -232,6 +269,7 @@ def solve_one_numpy(
 
 def solve_family_numpy(
     make_instance, B, A, b, xl, xu, X0, crit_tol=_SQEPS, b_per_instance=None,
+    step_rule="boundary",
 ):
     """Sequential single-core solve of a problem family (generic driver).
 
@@ -250,7 +288,7 @@ def solve_family_numpy(
         bi = b_per_instance[i] if b_per_instance is not None else b
         xi, _, info = solve_one_numpy(
             residuals, jac_res, nlconstraints, jac_nlcons, A, bi, xl, xu, X0[i],
-            crit_tol=crit_tol,
+            crit_tol=crit_tol, step_rule=step_rule,
         )
         X[i] = xi
         conv += int(info["converged"])
@@ -306,7 +344,7 @@ def solve_exp_fit_numpy(theta_t, theta_y, A, b_all, xl, xu, X0, crit_tol=_SQEPS)
 
         xi, _, info = solve_one_numpy(
             residuals, jac, no_nl, no_nl_jac, A, b_all[i], xl, xu, X0[i],
-            crit_tol=crit_tol,
+            crit_tol=crit_tol, step_rule="clip",
         )
         X[i] = xi
         conv += int(info["converged"])

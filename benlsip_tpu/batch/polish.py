@@ -319,12 +319,16 @@ def _polish_one(fns, poly: Polyhedron, x0: Array, num_steps: int, active_tol: fl
     """
     rs = min(max(refactor_steps, 1), num_steps)
     if kkt == "qr":
-        x, nu, RJ, Qw, Tw, free = _factor_phase_qr(fns, poly, x0, rs, active_tol, reg)
-        return _chord_phase_qr(fns, poly, x, nu, RJ, Qw, Tw, free, num_steps - rs,
-                               crit_tol, feas_tol)
-    x, nu, lu, piv, free = _factor_phase(fns, poly, x0, rs, active_tol, reg, dual_reg)
-    return _chord_phase(fns, poly, x, nu, lu, piv, free, num_steps - rs,
-                        crit_tol, feas_tol)
+        with jax.named_scope("polish_factor_qr"):
+            x, nu, RJ, Qw, Tw, free = _factor_phase_qr(fns, poly, x0, rs, active_tol, reg)
+        with jax.named_scope("polish_chord_certify"):
+            return _chord_phase_qr(fns, poly, x, nu, RJ, Qw, Tw, free, num_steps - rs,
+                                   crit_tol, feas_tol)
+    with jax.named_scope("polish_factor_lu"):
+        x, nu, lu, piv, free = _factor_phase(fns, poly, x0, rs, active_tol, reg, dual_reg)
+    with jax.named_scope("polish_chord_certify"):
+        return _chord_phase(fns, poly, x, nu, lu, piv, free, num_steps - rs,
+                            crit_tol, feas_tol)
 
 
 @functools.lru_cache(maxsize=128)
@@ -567,6 +571,42 @@ def sqp_polish_split(
         return cr(theta64, x, nu, lu, piv_h, free, poly64)
 
 
+def _gather_uncertified(ok_h: np.ndarray, pad_cap: int, B: int):
+    """Indices of uncertified instances, padded to a power-of-two bucket.
+
+    Padding to the next power of two (capped at `pad_cap`) bounds the
+    number of distinct compiled shapes to log2(pad_cap) so a handful of
+    stragglers never pays a full-batch program or a fresh compile per
+    count.  Returns (idx, k, idx_padded).
+    """
+    idx = np.nonzero(~ok_h)[0]
+    k = len(idx)
+    bucket = 1
+    while bucket < k:
+        bucket *= 2
+    bucket = min(max(bucket, 1), min(pad_cap, B))
+    pad = (-k) % bucket
+    idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
+    return idx, k, idx_p
+
+
+def _take_batched(bp64: BatchedProblem, theta64, idx_p: np.ndarray):
+    """Gather instance subset idx_p from theta and any per-instance
+    (batched) polyhedron fields."""
+    from .vmap_solve import _POLY_BASE_RANK
+
+    take = lambda a: a[idx_p]
+    theta_f = jax.tree.map(take, theta64)
+    upd = {
+        f: take(getattr(bp64, f))
+        for f in ("A", "b", "xl", "xu")
+        if getattr(bp64, f) is not None
+        and getattr(bp64, f).ndim > getattr(_POLY_BASE_RANK, f)
+    }
+    bp_f = dataclasses.replace(bp64, **upd) if upd else bp64
+    return bp_f, theta_f
+
+
 def polish_then_refine(
     bp: BatchedProblem,
     theta,
@@ -664,24 +704,33 @@ def polish_then_refine(
                 refactor_steps=refactor_steps, kkt_factorization=kkt_factorization,
             )
         ok_h = np.asarray(ok)
+        B0 = X.shape[0]
         for _ in range(rounds - 1):
             if ok_h.all():
                 break
+            # Re-polish ONLY the uncertified subset (padded to a power-of-
+            # two bucket): a full-batch host re-polish for a handful of
+            # stragglers was the dominant config-3 wall component
+            # (measured 0.53 s for B=64 on the 2-core host vs ~10 ms for
+            # the gathered singleton).  The re-polished state is taken for
+            # every gathered instance, certified or not — keeping only the
+            # certified ones would make further rounds (and the fallback
+            # warm start) re-run from a byte-identical point, i.e.
+            # deterministic no-ops.
+            idx2, k2, idx2_p = _gather_uncertified(ok_h, fallback_pad, B0)
+            bp_r, theta_r = _take_batched(bp64, theta64, idx2_p)
             X2, Y2, ok2, pix2, feas2, obj2 = sqp_polish(
-                bp64, theta64, X, options, num_steps=num_steps, active_tol=active_tol,
-                refactor_steps=refactor_steps, kkt_factorization=kkt_factorization,
+                bp_r, theta_r, X[idx2_p], options, num_steps=num_steps,
+                active_tol=active_tol, refactor_steps=refactor_steps,
+                kkt_factorization=kkt_factorization,
             )
-            # Take the re-polished state for every instance that was not
-            # yet certified — certified or not.  Keeping only the certified
-            # ones would make further rounds (and the fallback warm start)
-            # re-run from a byte-identical point, i.e. deterministic no-ops.
-            upd = ~ok
-            X = jnp.where(upd[:, None], X2, X)
-            Y = jnp.where(upd[:, None], Y2, Y)
-            pix = jnp.where(upd, pix2, pix)
-            feas = jnp.where(upd, feas2, feas)
-            obj = jnp.where(upd, obj2, obj)
-            ok = ok | ok2
+            sel = jnp.asarray(idx2)
+            X = X.at[sel].set(X2[:k2])
+            Y = Y.at[sel].set(Y2[:k2])
+            pix = pix.at[sel].set(pix2[:k2])
+            feas = feas.at[sel].set(feas2[:k2])
+            obj = obj.at[sel].set(obj2[:k2])
+            ok = ok.at[sel].set(ok2[:k2])
             ok_h = np.asarray(ok)
         B = X.shape[0]
         opts = options.resolve_tols(jnp.dtype(jnp.float64))
@@ -701,29 +750,9 @@ def polish_then_refine(
             return X, Y, info
 
         # Fallback: full f64 refine on the uncertified instances, warm-started
-        # from the polished points (strictly better than X32).  Pad to the
-        # next power of two (capped at fallback_pad): a handful of failures
-        # must not pay a full-batch refine, and powers of two bound the
-        # number of distinct compiled shapes to log2(fallback_pad).
-        idx = np.nonzero(~ok_h)[0]
-        k = len(idx)
-        bucket = 1
-        while bucket < k:
-            bucket *= 2
-        bucket = min(max(bucket, 1), min(fallback_pad, B))
-        pad = (-k) % bucket
-        idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
-        take = lambda a: a[idx_p]
-        theta_f = jax.tree.map(take, theta64)
-        from .vmap_solve import _POLY_BASE_RANK
-
-        upd = {
-            f: take(getattr(bp64, f))
-            for f in ("A", "b", "xl", "xu")
-            if getattr(bp64, f) is not None
-            and getattr(bp64, f).ndim > getattr(_POLY_BASE_RANK, f)
-        }
-        bp_f = dataclasses.replace(bp64, **upd) if upd else bp64
+        # from the polished points (strictly better than X32).
+        idx, k, idx_p = _gather_uncertified(ok_h, fallback_pad, B)
+        bp_f, theta_f = _take_batched(bp64, theta64, idx_p)
         # The full-refine fallback stays on its own device (CPU by default):
         # the complete f64 solver program faults on the TPU runtime even
         # where the small polish program runs (docs/BENCH_NOTES.md).

@@ -99,6 +99,7 @@ def solve_mixed_precision(
     bulk_crit_tol: Optional[float] = 1e-2,
     bulk_device: Optional[jax.Device] = None,
     certify: str = "host",
+    pipeline_overlap: bool = False,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
@@ -126,6 +127,16 @@ def solve_mixed_precision(
     sort_by_difficulty runs the bulk phase in pilot-ranked chunks
     (batch.buckets.solve_batched_sorted): each lockstep chunk waits only
     for peers of similar cost.
+
+    pipeline_overlap=True dispatches EVERY bulk chunk asynchronously up
+    front, then certifies chunk i on the host while the device still
+    executes chunks i+1…; per-instance results are identical to the
+    default path (certification is per-instance).  Default False: through
+    the axon socket relay the D2H pull serializes behind queued
+    executions, so there is no overlap to win — only extra per-chunk
+    polish dispatches (measured slower there).  On directly-attached
+    hardware the overlap hides the host certify leg behind device
+    compute; flip it on there.
     """
     # Build the f32 working copy on HOST, then ship it to the bulk device in
     # one explicit transfer.  Casting uncommitted f64 arrays directly would
@@ -174,6 +185,12 @@ def solve_mixed_precision(
     bulk_opts = options
     if polish and bulk_crit_tol is not None:
         bulk_opts = dataclasses.replace(options, crit_tol=bulk_crit_tol)
+    if pipeline_overlap and polish:
+        return _overlapped_pipeline(
+            bp_h, theta_h, bp32, theta32, X0_32, options, bulk_opts,
+            chunk=chunk, polish_steps=polish_steps,
+            refine_device=refine_device, certify=certify,
+        )
     if sort_by_difficulty:
         from .buckets import solve_batched_sorted
 
@@ -198,3 +215,61 @@ def solve_mixed_precision(
             bp32=bp32, theta32=theta32,
         )
     return refine_f64(bp_h, theta_h, X32, options, device=refine_device, chunk=chunk)
+
+
+def _slice_batched(bp: BatchedProblem, theta, sl):
+    """Slice theta and any per-instance polyhedron fields to a chunk."""
+    from .vmap_solve import _POLY_BASE_RANK
+
+    upd = {
+        f: getattr(bp, f)[sl]
+        for f in ("A", "b", "xl", "xu")
+        if getattr(bp, f) is not None
+        and getattr(bp, f).ndim > getattr(_POLY_BASE_RANK, f)
+    }
+    bp_c = dataclasses.replace(bp, **upd) if upd else bp
+    return bp_c, jax.tree.map(lambda a: a[sl], theta)
+
+
+def _overlapped_pipeline(
+    bp_h, theta_h, bp32, theta32, X0_32, options, bulk_opts,
+    chunk, polish_steps, refine_device, certify,
+):
+    """Chunk-pipelined bulk/certify: dispatch every bulk chunk up front
+    (JAX async dispatch queues them device-side), then certify chunk i on
+    the host while the device executes chunks i+1….  See
+    `solve_mixed_precision(pipeline_overlap=...)` for when this wins.
+    """
+    from .polish import polish_then_refine
+    from .vmap_solve import solve_batched_chunked
+
+    B = X0_32.shape[0]
+    csz = min(chunk, B)
+    slices = [slice(i, min(i + csz, B)) for i in range(0, B, csz)]
+
+    # Phase 1: launch all bulk chunks without blocking.
+    bulk_out = []
+    for sl in slices:
+        bp_c, th_c = _slice_batched(bp32, theta32, sl)
+        Xc, _, _ = solve_batched_chunked(bp_c, th_c, X0_32[sl], bulk_opts, chunk=csz)
+        bulk_out.append((bp_c, th_c, Xc))
+
+    # Phase 2: certify chunk i (pulls Xc — blocks only on that chunk's
+    # completion) while later chunks still run on the device.
+    parts = []
+    for sl, (bp32_c, th32_c, Xc) in zip(slices, bulk_out):
+        bp_hc, th_hc = _slice_batched(bp_h, theta_h, sl)
+        parts.append(
+            polish_then_refine(
+                bp_hc, th_hc, Xc, options, num_steps=polish_steps, chunk=csz,
+                device=None if certify == "device" else refine_device,
+                bp32=bp32_c, theta32=th32_c,
+            )
+        )
+    X = jnp.concatenate([p[0] for p in parts], axis=0)
+    Y = jnp.concatenate([p[1] for p in parts], axis=0)
+    info = SolveInfo(*[
+        jnp.concatenate([getattr(p[2], f) for p in parts], axis=0)
+        for f in SolveInfo._fields
+    ])
+    return X, Y, info

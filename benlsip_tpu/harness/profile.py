@@ -1,11 +1,15 @@
 """Profiling hooks (SURVEY.md §5 'tracing/profiling' row — absent in the
-reference): jax.profiler traces with per-phase named scopes, used by the
-benchmark harness only — never inside the jitted hot path."""
+reference): jax.profiler trace capture, used by the benchmark harness only
+(`bench_roofline.py --trace`).  Phase attribution comes from the
+`jax.named_scope` annotations placed inline at the solver's phase
+boundaries — cauchy_projected / cauchy_breakpoint_walk /
+minor_projected_cg (solver/inner.py), gn_refresh / criticality_projection
+(solver/subproblem.py), polish_factor_* / polish_chord_certify
+(batch/polish.py) — which label the captured timeline per phase."""
 from __future__ import annotations
 
 import contextlib
-import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 
@@ -18,23 +22,3 @@ def trace(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
-
-
-def named_scope(name: str):
-    """Annotate a region of traced code; shows up in profiler timelines."""
-    return jax.named_scope(name)
-
-
-@contextlib.contextmanager
-def wall_timer() -> Iterator[dict]:
-    """Wall-clock timer with an explicit device fence at exit.
-
-    Fences belong in the harness, not in jitted code; use
-    `jax.block_until_ready` on the outputs you time.
-    """
-    box = {"seconds": None}
-    t0 = time.perf_counter()
-    try:
-        yield box
-    finally:
-        box["seconds"] = time.perf_counter() - t0

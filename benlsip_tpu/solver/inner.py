@@ -318,14 +318,20 @@ def inner_step(
     ul = opts.unroll_limit
     ax = opts.spmd_axis
 
+    # Named scopes label the profiler timeline per solver phase
+    # (SURVEY.md §5 tracing row; captured via bench_roofline.py --trace).
     if n - m > opts.projected_cauchy_threshold:
-        s0, aset0 = cauchy_step_projected(
-            x, g, H, poly, delta, atol,
-            kappa1=opts.kappa1, gamma_c=opts.gamma_c,
-            max_trials=opts.cauchy_max_trials, chol_reg=chol_reg, axis=ax,
-        )
+        with jax.named_scope("cauchy_projected"):
+            s0, aset0 = cauchy_step_projected(
+                x, g, H, poly, delta, atol,
+                kappa1=opts.kappa1, gamma_c=opts.gamma_c,
+                max_trials=opts.cauchy_max_trials, chol_reg=chol_reg, axis=ax,
+            )
     else:
-        s0, aset0 = cauchy_step(x, g, H, poly, delta, atol, chol_reg, unroll_limit=ul, axis=ax)
+        with jax.named_scope("cauchy_breakpoint_walk"):
+            s0, aset0 = cauchy_step(
+                x, g, H, poly, delta, atol, chol_reg, unroll_limit=ul, axis=ax
+            )
     g_minor0 = hv(H, s0, ax) + g
 
     nrg0 = norm_reduced_gradient(poly, aset0, g)
@@ -352,10 +358,11 @@ def inner_step(
 
     def body(c: _MinorCarry):
         aset = ActiveSet(fixed=c.fixed, chol=c.chol)
-        w, cg_status, cg_iters = minor_iterate(
-            x, c.s, c.g_minor, H, poly, aset, delta, opts.kappa2,
-            unroll_limit=ul, axis=ax,
-        )
+        with jax.named_scope("minor_projected_cg"):
+            w, cg_status, cg_iters = minor_iterate(
+                x, c.s, c.g_minor, H, poly, aset, delta, opts.kappa2,
+                unroll_limit=ul, axis=ax,
+            )
         cg_stop = cg_status == CG_NEGATIVE_CURVATURE
         s = c.s + w
         g_minor = hv(H, s, ax) + g

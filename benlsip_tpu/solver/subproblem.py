@@ -173,7 +173,8 @@ def solve_subproblem(
         materialize = lambda H: with_gram_rows(H, ax, opts.reduce_schedule)
     else:
         materialize = lambda H: with_gram(H, ax)
-    H0 = materialize(H0)
+    with jax.named_scope("gn_refresh"):
+        H0 = materialize(H0)
     delta0 = initial_tr(g0, opts.tr_factor)
 
     c0 = _TRCarry(
@@ -231,11 +232,12 @@ def solve_subproblem(
 
         def refresh(_):
             # ref :361-362: derivatives only on acceptance.
-            Jn = fns.jac_res(x_next)
-            Cn = fns.jac_nlcons(x_next)
-            y_bar = y + mu * cx_next
-            gn = al_gradient(Jn, Cn, rx_next, y_bar, axis=ax)
-            Hn = materialize(AlHessian(Jn, Cn, mu))
+            with jax.named_scope("gn_refresh"):
+                Jn = fns.jac_res(x_next)
+                Cn = fns.jac_nlcons(x_next)
+                y_bar = y + mu * cx_next
+                gn = al_gradient(Jn, Cn, rx_next, y_bar, axis=ax)
+                Hn = materialize(AlHessian(Jn, Cn, mu))
             return gn, Hn
 
         def keep(_):
@@ -251,7 +253,8 @@ def solve_subproblem(
         # ref :369 measures pi with the active set as left by inner_step —
         # including TR-face hits, which can spuriously report criticality
         # (latent reference flaw).  Use the exact projected-gradient measure.
-        pix, crit_lam = criticality_measure(poly, x, g, lam0=c.crit_lam)
+        with jax.named_scope("criticality_projection"):
+            pix, crit_lam = criticality_measure(poly, x, g, lam0=c.crit_lam)
         solved = pix < omega_tol
         improved = pix < opts.stall_ratio * c.best_pix
         best_pix = jnp.minimum(pix, c.best_pix)

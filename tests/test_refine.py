@@ -86,3 +86,26 @@ def test_certify_device_plumbing_matches_host():
     assert bool(np.all(np.asarray(ih.converged)))
     assert bool(np.all(np.asarray(id_.converged)))
     np.testing.assert_allclose(np.asarray(Xd), np.asarray(Xh), rtol=1e-9, atol=1e-11)
+
+
+def test_pipeline_overlap_matches_default():
+    """pipeline_overlap=True (chunk-pipelined bulk/certify, VERDICT r2 #8)
+    must be bit-identical to the default path — certification is
+    per-instance, so chunking it differently cannot change results.
+    Exercises a ragged final chunk (300 = 2*128 + 44)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    bp, theta, X0 = exp_fit_family(300, d=32, seed=5, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X1, Y1, i1 = solve_mixed_precision(bp, theta, X0, opts, chunk=128)
+    X2, Y2, i2 = solve_mixed_precision(
+        bp, theta, X0, opts, chunk=128, pipeline_overlap=True
+    )
+    np.testing.assert_array_equal(np.asarray(X1), np.asarray(X2))
+    np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y2))
+    np.testing.assert_array_equal(np.asarray(i1.converged), np.asarray(i2.converged))
