@@ -144,12 +144,20 @@ class CheckpointedSweep:
         X0,
         resume: bool = True,
         stop_after_chunks: Optional[int] = None,
+        chunk_callback=None,
     ) -> Tuple[np.ndarray, np.ndarray, SolveInfo, int]:
         """Run the sweep; returns (X, Y, info, resumed_from_chunk).
 
         `stop_after_chunks` bounds this call's work (for tests simulating
         preemption without a kill); the checkpoint still lands, so a later
         call resumes.  Raises RuntimeError if stopped before completion.
+
+        `chunk_callback(k)` fires immediately BEFORE chunk k's compute —
+        the hook the arbitrary-point preemption test uses to land a
+        SIGKILL mid-chunk (between a chunk's start and its checkpoint
+        commit); recovery then recomputes the in-flight chunk from the
+        last committed step, which is idempotent because chunk inputs are
+        pure slices of (theta, X0).
         """
         ocp = _ocp()
         B = X0.shape[0]
@@ -176,6 +184,8 @@ class CheckpointedSweep:
                     f"sweep stopped after {done} chunks (chunk {k}/{n_chunks}); "
                     f"checkpoint saved — rerun to resume"
                 )
+            if chunk_callback is not None:
+                chunk_callback(k)
             sl = slice(k * self.sweep_chunk, min((k + 1) * self.sweep_chunk, B))
             bp_c, theta_c, X0_c = _slice_family(self.bp, theta, X0, sl)
             Xc, Yc, infoc = _to_host(self._solve_chunk(bp_c, theta_c, X0_c))

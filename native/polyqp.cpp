@@ -25,9 +25,10 @@
 
 namespace {
 
-// Solve (K + reg I) d = f with K SPD (m x m), in-place Cholesky.
-bool chol_solve(int m, std::vector<double>& K, const double* f, double reg,
-                double* d) {
+// One Cholesky attempt on (K + reg I); K is clobbered.  Returns false when
+// a pivot goes non-positive (K + reg I numerically indefinite).
+bool chol_solve_once(int m, std::vector<double>& K, const double* f,
+                     double reg, double* d) {
   for (int i = 0; i < m; ++i) K[i * m + i] += reg;
   // Cholesky factorization K = L L^T (lower, in place).
   for (int j = 0; j < m; ++j) {
@@ -54,6 +55,27 @@ bool chol_solve(int m, std::vector<double>& K, const double* f, double reg,
     d[i] = s / K[i * m + i];
   }
   return true;
+}
+
+// Solve (K + reg I) d = f robustly: the shift starts scale-relative
+// (reg · (1 + max diag)) and escalates 1e4x per failed factorization, so a
+// rank-deficient generalized Jacobian (redundant/degenerate rows of A —
+// Ipopt's interior point handles these natively, ref
+// polyhedral_constraints.jl:185-197) yields the damped min-norm-style
+// direction instead of a failure.  The shift only slows the Newton
+// contraction; the linesearch keeps every step a dual ascent.
+bool chol_solve(int m, std::vector<double>& K, const double* f, double reg,
+                double* d) {
+  double scale = 0.0;
+  for (int i = 0; i < m; ++i) scale = std::fmax(scale, K[i * m + i]);
+  double shift = reg * (1.0 + scale);
+  std::vector<double> Kcopy(K);
+  for (int attempt = 0; attempt < 8; ++attempt) {
+    K = Kcopy;
+    if (chol_solve_once(m, K, f, shift, d)) return true;
+    shift = (shift > 0 ? shift : 1e-300) * 1e4;
+  }
+  return false;
 }
 
 }  // namespace

@@ -27,13 +27,18 @@ def main():
     directory, B, sweep_chunk, throttle = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4])
     )
+    markers = len(sys.argv) > 5 and sys.argv[5] == "markers"
     bp, theta, X0 = exp_fit_family(B, d=32, seed=11)
     opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
     sweep = CheckpointedSweep(
         bp, opts, directory, sweep_chunk=sweep_chunk, mixed_precision=False,
         throttle_s=throttle,
     )
-    X, Y, info, resumed = sweep.run(theta, X0)
+    # markers mode: announce each chunk's start so the parent can land its
+    # SIGKILL DURING a chunk compute (the arbitrary-point preemption test),
+    # not at the post-checkpoint drain.
+    cb = (lambda k: print(f"CHUNK_START {k}", flush=True)) if markers else None
+    X, Y, info, resumed = sweep.run(theta, X0, chunk_callback=cb)
     print(f"worker finished resumed_from={resumed}", flush=True)
 
 

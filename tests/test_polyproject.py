@@ -109,3 +109,92 @@ def test_criticality_measure_zero_at_feasible_stationary():
     # Gradient orthogonal to feasible set => measure ~ 0 for g in rowspace(A).
     g = jnp.asarray([1.0, 2.0, -1.0]) * 1e-3
     assert float(criticality_measure_polyhedron(poly, x, g)) < 1e-10
+
+
+# ---------- degenerate-A robustness (SURVEY §7.3-2, VERDICT r2 #6) ----------
+# Ipopt, being interior-point, handles rank-deficient / redundant-row A
+# natively (ref `src/polyhedral_constraints.jl:185-197`); the dual Newton
+# must match that robustness through its scale-relative regularization.
+
+
+def _dedup_oracle(x, A_dedup, b_dedup, l, u):
+    """scipy oracle on the DEDUPLICATED system (SLSQP itself fails on
+    redundant equality rows, so the oracle gets the clean formulation —
+    the projection is identical because the feasible sets are)."""
+    return scipy_projection(x, A_dedup, b_dedup, l, u)
+
+
+def test_rank_deficient_duplicate_rows_consistent():
+    n = 8
+    r = np.random.default_rng(7)
+    A1 = r.standard_normal((2, n))
+    A = np.vstack([A1, 2.0 * A1[0:1]])          # row 3 = 2 x row 1
+    xt = r.standard_normal(n)
+    b1 = A1 @ xt
+    b = np.concatenate([b1, [2.0 * b1[0]]])     # consistent rhs
+    l, u = np.full(n, -2.0), np.full(n, 2.0)
+    poly = Polyhedron(A=jnp.asarray(A), b=jnp.asarray(b), xl=jnp.asarray(l), xu=jnp.asarray(u))
+    z = r.standard_normal(n) * 3
+    v, lam = projection_polyhedron(poly, jnp.asarray(z), return_lam=True)
+    assert bool(jnp.all(jnp.isfinite(v))) and bool(jnp.all(jnp.isfinite(lam)))
+    np.testing.assert_allclose(np.asarray(poly.A) @ np.asarray(v), b, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(v), _dedup_oracle(z, A1, b1, l, u), atol=1e-6
+    )
+
+
+def test_rank_deficient_zero_row_consistent():
+    n = 6
+    r = np.random.default_rng(8)
+    A1 = r.standard_normal((1, n))
+    A = np.vstack([A1, np.zeros((1, n))])       # an all-zero row
+    xt = r.standard_normal(n)
+    b = np.concatenate([A1 @ xt, [0.0]])        # 0·v = 0: trivially consistent
+    l, u = np.full(n, -3.0), np.full(n, 3.0)
+    poly = Polyhedron(A=jnp.asarray(A), b=jnp.asarray(b), xl=jnp.asarray(l), xu=jnp.asarray(u))
+    z = r.standard_normal(n)
+    v, lam = projection_polyhedron(poly, jnp.asarray(z), return_lam=True)
+    assert bool(jnp.all(jnp.isfinite(v))) and bool(jnp.all(jnp.isfinite(lam)))
+    np.testing.assert_allclose(
+        np.asarray(v), _dedup_oracle(z, A1, A1 @ xt, l, u), atol=1e-6
+    )
+
+
+def test_inconsistent_rows_finite_no_hang():
+    """Inconsistent rhs (row 3 = 2 x row 1 but b3 != 2 b1): the polyhedron
+    is empty, so no projection exists — the contract is graceful failure:
+    finite output, finite dual, bounded iteration count (the stall exit),
+    never NaN or a spin to the cap."""
+    n = 8
+    r = np.random.default_rng(9)
+    A1 = r.standard_normal((2, n))
+    A = np.vstack([A1, 2.0 * A1[0:1]])
+    xt = r.standard_normal(n)
+    b1 = A1 @ xt
+    b = np.concatenate([b1, [2.0 * b1[0] + 0.5]])   # contradiction
+    l, u = np.full(n, -2.0), np.full(n, 2.0)
+    poly = Polyhedron(A=jnp.asarray(A), b=jnp.asarray(b), xl=jnp.asarray(l), xu=jnp.asarray(u))
+    z = r.standard_normal(n)
+    v, lam = projection_polyhedron(poly, jnp.asarray(z), return_lam=True)
+    assert bool(jnp.all(jnp.isfinite(v))) and bool(jnp.all(jnp.isfinite(lam)))
+    # The returned point still respects the box (it is v*(lam) by construction).
+    assert np.all(np.asarray(v) >= l - 1e-12) and np.all(np.asarray(v) <= u + 1e-12)
+
+
+def test_nearly_dependent_rows_consistent():
+    """Rows dependent to 1e-12: the generalized Jacobian is numerically
+    singular on interior active sets; the reg path must still converge to
+    the true projection."""
+    n = 10
+    r = np.random.default_rng(10)
+    A1 = r.standard_normal((2, n))
+    A = np.vstack([A1, A1[0] + 1e-12 * r.standard_normal(n)])
+    xt = r.standard_normal(n)
+    b = np.concatenate([A1 @ xt, [float(A[2] @ xt)]])
+    l, u = np.full(n, -2.5), np.full(n, 2.5)
+    poly = Polyhedron(A=jnp.asarray(A), b=jnp.asarray(b), xl=jnp.asarray(l), xu=jnp.asarray(u))
+    z = r.standard_normal(n) * 2
+    v = projection_polyhedron(poly, jnp.asarray(z))
+    assert bool(jnp.all(jnp.isfinite(v)))
+    np.testing.assert_allclose(np.asarray(poly.A) @ np.asarray(v), b, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), _dedup_oracle(z, A1, A1 @ xt, l, u), atol=1e-6)

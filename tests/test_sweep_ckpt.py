@@ -131,3 +131,61 @@ def test_sweep_refuses_geometry_mismatch_on_resume(tmp_path):
     # Matching geometry still resumes and completes.
     X, Y, info, resumed = sweep.run(theta, X0)
     assert resumed == 2 and bool(np.all(info.converged))
+
+
+def test_sweep_resume_after_midchunk_sigkill(tmp_path):
+    """Arbitrary-point preemption (VERDICT r2 #7): the kill lands DURING a
+    chunk's compute (immediately after its start marker), not at the
+    post-checkpoint drain.  Resume must recompute the in-flight chunk
+    idempotently — chunk inputs are pure slices of (theta, X0) — and
+    finish bit-identical to an uninterrupted run.  The chip-side bench
+    drains between chunks only because a mid-compile SIGKILL wedges the
+    TPU tunnel (a runtime limitation, not a design one; see
+    docs/BENCH_NOTES.md)."""
+    bp, theta, X0 = _family()
+    X_ref, Y_ref, info_ref, _ = run_sweep(
+        bp, theta, X0, OPTS, str(tmp_path / "ref"),
+        sweep_chunk=SWEEP_CHUNK, mixed_precision=False,
+    )[:4]
+
+    bdir = tmp_path / "mid"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "sweep_worker.py"),
+         str(bdir), str(B), str(SWEEP_CHUNK), "0", "markers"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    killed_at = None
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            line = proc.stdout.readline().decode()
+            if not line:
+                pytest.fail(f"worker exited before kill (rc={proc.poll()})")
+            if line.startswith("CHUNK_START"):
+                k = int(line.split()[1])
+                if k >= 1:
+                    # Chunk k's compute is under way; its checkpoint commit
+                    # is strictly later.  Kill NOW — exact PID, no pattern.
+                    proc.send_signal(signal.SIGKILL)
+                    killed_at = k
+                    break
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+    assert killed_at is not None
+
+    # The in-flight chunk's checkpoint must not have committed: the latest
+    # step is at most killed_at (= chunks [0, killed_at) done).
+    sweep = CheckpointedSweep(
+        bp, OPTS, str(bdir), sweep_chunk=SWEEP_CHUNK, mixed_precision=False
+    )
+    X2, Y2, info2, resumed_from = sweep.run(theta, X0)
+    assert resumed_from <= killed_at, (
+        f"kill after CHUNK_START {killed_at} but checkpoint {resumed_from} committed"
+    )
+    assert np.array_equal(X2, X_ref)
+    assert np.array_equal(Y2, Y_ref)
+    assert np.array_equal(info2.pix, info_ref.pix)
