@@ -112,6 +112,20 @@ def main():
         )
         add("thin_qr R(J)", 2.0 * d * n * n - 2.0 * n**3 / 3.0, 2 * d * n * fsz, wall)
 
+        # CholeskyQR2 R factor: the gn_factorization="cholqr2" refresh —
+        # three GEMM-class passes (G = SᵀS, W = S R₁⁻¹, G₂ = WᵀW) + two
+        # small chols + one triangular-triangular product.  Same R as
+        # Householder at MXU-kernel shapes (ops/qr.cholqr2_r).
+        from benlsip_tpu.ops.qr import cholqr2_r
+
+        wall, _ = _time(jax.jit(cholqr2_r), J, reps=args.reps)
+        add(
+            "cholqr2 R(J)",
+            5.0 * d * n * n + n**3,          # 2dn² + dn² + 2dn² GEMM-class + ~n³ tri ops
+            (3 * d * n + 4 * n * n) * fsz,   # S streamed thrice + (n,n) factors
+            wall,
+        )
+
         # Exact polyhedral projection (criticality measure, once per TR iter).
         from benlsip_tpu.ops.constraints import Polyhedron
         from benlsip_tpu.ops.polyproject import projection_polyhedron
@@ -151,11 +165,31 @@ def main():
         pass
 
     if args.trace:
+        # Trace a REAL blocked solve (config-4 shape) so the per-phase
+        # jax.named_scope annotations (cauchy/minor-cg/gn-refresh/
+        # criticality; see harness/profile.py) label the captured timeline.
+        from benlsip_tpu.batch.vmap_solve import BatchedProblem
+        from benlsip_tpu.dist.mesh import make_mesh
+        from benlsip_tpu.dist.sharded import solve_large_blocked_family
         from benlsip_tpu.harness.profile import trace
+        from benlsip_tpu.solver.options import SolverOptions
 
-        with hp, trace(args.trace):
-            for _ in range(3):
-                jax.block_until_ready(jax.jit(lambda j, x: j.T @ (j @ x))(J, v))
+        x_true = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y = J @ x_true + 0.01 * jnp.asarray(rng.standard_normal(d).astype(np.float32))
+        bp = BatchedProblem(
+            residuals=lambda x, th: th["J"] @ x - th["y"],
+            jac_res=lambda x, th: th["J"],
+            A=A, b=A @ x_true,
+            xl=jnp.full(n, -3.0, dtype), xu=jnp.full(n, 3.0, dtype),
+        )
+        mesh = make_mesh(batch=1, block=len(jax.devices()))
+        t_opts = SolverOptions(max_outer_iter=2, max_inner_iter=6)
+        # Warm (compile) OUTSIDE the trace; trace one warm solve.
+        out = solve_large_blocked_family(bp, {"J": J, "y": y}, jnp.zeros(n, dtype), t_opts, mesh)
+        _sync(out[0])
+        with trace(args.trace):
+            out = solve_large_blocked_family(bp, {"J": J, "y": y}, jnp.zeros(n, dtype), t_opts, mesh)
+            _sync(out[0])
         print(f"# trace written to {args.trace}", flush=True)
 
     from benlsip_tpu.harness.metrics import MetricsWriter

@@ -194,6 +194,12 @@ def main():
                     help="measured per-inner-iter seconds on the real chip "
                     "(default: last config-4 entry in bench_results.jsonl)")
     ap.add_argument("--out", default="bench_results.jsonl")
+    ap.add_argument("--multihost", action="store_true",
+                    help="also run the 2-process sweep-efficiency "
+                    "measurement (tests/mh_sweep_worker.py) and record "
+                    "measured mean/max chunk-wall efficiency")
+    ap.add_argument("--mh-batch", type=int, default=512)
+    ap.add_argument("--mh-chunk", type=int, default=64)
     args = ap.parse_args()
 
     # Measured single-chip per-iteration compute time (config 4).
@@ -277,6 +283,36 @@ def main():
                 row[f"pred_iter_s_{domain}"] = round(t_comp + t_comm, 5)
         row["chip_iter_s_measured"] = chip_iter_s
         results.append(row)
+
+    if args.multihost:
+        # --- Measured 2-process sweep efficiency (config-5 execution
+        # shape): each process solves its local shard's chunks as
+        # independent programs; the recorded efficiency is the measured
+        # mean/max total-wall ratio — the exact loss term the DP model
+        # above names (tail imbalance), now a measurement, not a model.
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_multihost import run_mh_sweep
+
+        reports = run_mh_sweep(B=args.mh_batch, chunk=args.mh_chunk, port="12359")
+        totals = [r["total_wall_s"] for r in reports]
+        walls = [w for r in reports for w in r["chunk_walls_s"]]
+        results.append({
+            "config": "scaling-multihost-measured",
+            "processes": len(reports),
+            "B": args.mh_batch,
+            "chunk": args.mh_chunk,
+            "per_process_total_wall_s": totals,
+            "chunk_wall_mean_s": round(sum(walls) / len(walls), 4),
+            "chunk_wall_max_s": round(max(walls), 4),
+            "chunk_wall_spread": round((max(walls) - min(walls)) / max(walls), 4),
+            "efficiency_mean_over_max": round((sum(totals) / len(totals)) / max(totals), 4),
+            "converged": sum(r["converged"] for r in reports),
+            "note": "2-process jax.distributed CPU measurement (4 virtual "
+            "devices each, shared physical cores — absolute walls are "
+            "contended; the efficiency ratio is the measured quantity)",
+        })
 
     from benlsip_tpu.harness.metrics import MetricsWriter
 

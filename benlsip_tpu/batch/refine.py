@@ -100,6 +100,7 @@ def solve_mixed_precision(
     bulk_device: Optional[jax.Device] = None,
     certify: str = "host",
     pipeline_overlap: bool = False,
+    bulk_dtype=jnp.float32,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
@@ -137,6 +138,13 @@ def solve_mixed_precision(
     polish dispatches (measured slower there).  On directly-attached
     hardware the overlap hides the host certify leg behind device
     compute; flip it on there.
+
+    bulk_dtype sets the bulk phase's working dtype (f32 default; bf16
+    runs the bulk at MXU-native bf16 rates).  The certification phases
+    are unaffected — a bf16 bulk result is promoted to f32 before the
+    polish factor phase, and the warm start just needs to land in the
+    polish's Newton basin (bulk_crit_tol already loosens the bulk to
+    1e-2 for the same reason).
     """
     # Build the f32 working copy on HOST, then ship it to the bulk device in
     # one explicit transfer.  Casting uncommitted f64 arrays directly would
@@ -191,18 +199,32 @@ def solve_mixed_precision(
             chunk=chunk, polish_steps=polish_steps,
             refine_device=refine_device, certify=certify,
         )
+    bp_b, theta_b, X0_b = bp32, theta32, X0_32
+    if jnp.dtype(bulk_dtype) != jnp.dtype(jnp.float32):
+        # Cast the already-device-resident f32 working set in-graph (no
+        # second host transfer); the f32 copy stays for the polish factors.
+        theta_b = _cast_tree(theta32, bulk_dtype)
+        bp_b = dataclasses.replace(
+            bp32,
+            A=None if bp32.A is None else bp32.A.astype(bulk_dtype),
+            b=None if bp32.b is None else bp32.b.astype(bulk_dtype),
+            xl=None if bp32.xl is None else bp32.xl.astype(bulk_dtype),
+            xu=None if bp32.xu is None else bp32.xu.astype(bulk_dtype),
+        )
+        X0_b = X0_32.astype(bulk_dtype)
     if sort_by_difficulty:
         from .buckets import solve_batched_sorted
 
         X32, _, _ = solve_batched_sorted(
-            bp32, theta32, X0_32, bulk_opts, chunk=sort_chunk
+            bp_b, theta_b, X0_b, bulk_opts, chunk=sort_chunk
         )
     else:
         # NOTE: a chunk-pipelined variant (pull + polish chunk i while the
         # device executes chunk i+1) was measured SLOWER here: the axon
         # tunnel serializes the D2H pull behind queued executions, so there
         # is no overlap to win — only extra per-chunk polish dispatches.
-        X32, _, _ = solve_batched_chunked(bp32, theta32, X0_32, bulk_opts, chunk=chunk)
+        X32, _, _ = solve_batched_chunked(bp_b, theta_b, X0_b, bulk_opts, chunk=chunk)
+    X32 = X32.astype(jnp.float32)
     if polish:
         from .polish import polish_then_refine
 

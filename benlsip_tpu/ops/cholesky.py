@@ -43,6 +43,26 @@ Array = jax.Array
 # XLA's blocked lowering is the right tool.
 _PALLAS_MAX_M = 16
 _PALLAS_DTYPES = (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+_BF16 = jnp.dtype(jnp.bfloat16)
+
+
+def _chol_xla(K: Array) -> Array:
+    """bf16-safe XLA Cholesky: no backend ships a bf16 kernel (LAPACK on
+    CPU, the blocked lowering on TPU are f32/f64 only), so bf16 inputs
+    factor in f32 and round back — matching the Pallas kernels'
+    accumulation precision (the bf16-bulk pipeline's dtype story)."""
+    if K.dtype == _BF16:
+        return jnp.linalg.cholesky(K.astype(jnp.float32)).astype(K.dtype)
+    return jnp.linalg.cholesky(K)
+
+
+def _tri_solve_xla(L: Array, b: Array, **kw) -> Array:
+    """bf16-safe triangular solve (same reasoning as `_chol_xla`)."""
+    if L.dtype == _BF16:
+        return jax.scipy.linalg.solve_triangular(
+            L.astype(jnp.float32), b.astype(jnp.float32), **kw
+        ).astype(L.dtype)
+    return jax.scipy.linalg.solve_triangular(L, b, **kw)
 
 
 @custom_vmap
@@ -56,7 +76,7 @@ def _chol_small(K: Array) -> Array:
     batch-on-lanes Pallas kernel (`kernels/batched_linalg.batched_cholesky`)
     with the batch on the 128-wide vector lanes.
     """
-    return jnp.linalg.cholesky(K)
+    return _chol_xla(K)
 
 
 @_chol_small.def_vmap
@@ -68,17 +88,17 @@ def _chol_small_vmap(axis_size, in_batched, K):
     if K.ndim == 3 and 0 < M <= _PALLAS_MAX_M and K.dtype in _PALLAS_DTYPES:
         from ..kernels.batched_linalg import batched_cholesky
 
-        out = lax.platform_dependent(K, cpu=jnp.linalg.cholesky, default=batched_cholesky)
+        out = lax.platform_dependent(K, cpu=_chol_xla, default=batched_cholesky)
     else:
-        out = jnp.linalg.cholesky(K)
+        out = _chol_xla(K)
     return out, True
 
 
 @custom_vmap
 def _cho_solve_small(L: Array, b: Array) -> Array:
     """Solve (L Lᵀ) x = b for one small factor; batching → Pallas kernel."""
-    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    y = _tri_solve_xla(L, b, lower=True)
+    return _tri_solve_xla(L.T, y, lower=False)
 
 
 @_cho_solve_small.def_vmap
@@ -94,19 +114,15 @@ def _cho_solve_small_vmap(axis_size, in_batched, L, b):
 
         def _xla(args):
             L_, b_ = args
-            y = jax.scipy.linalg.solve_triangular(L_, b_[..., None], lower=True)
-            return jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(L_, -1, -2), y, lower=False
-            )[..., 0]
+            y = _tri_solve_xla(L_, b_[..., None], lower=True)
+            return _tri_solve_xla(jnp.swapaxes(L_, -1, -2), y, lower=False)[..., 0]
 
         out = lax.platform_dependent(
             (L, b), cpu=_xla, default=lambda args: batched_cho_solve(*args)
         )
     else:
-        y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
-        out = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), y, lower=False
-        )[..., 0]
+        y = _tri_solve_xla(L, b[..., None], lower=True)
+        out = _tri_solve_xla(jnp.swapaxes(L, -1, -2), y, lower=False)[..., 0]
     return out, True
 
 
@@ -147,8 +163,8 @@ def cho_solve_lower(L: Array, b: Array) -> Array:
     """
     if b.ndim == 1:
         return _cho_solve_small(L, b)
-    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    y = _tri_solve_xla(L, b, lower=True)
+    return _tri_solve_xla(L.T, y, lower=False)
 
 
 def cholesky_aug_aat_dense(A: np.ndarray, fixed: np.ndarray, L_aat: np.ndarray) -> np.ndarray:

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .cholesky import cho_solve_lower
+from .cholesky import _chol_xla, cho_solve_lower
 from .constraints import Polyhedron
 
 Array = jax.Array
@@ -111,7 +111,7 @@ def projection_polyhedron(
         AD = A * inactive.astype(dtype)[None, :]
         K = AD @ A.T + jnp.asarray(reg, dtype) * eye
         F = F_of(lam)
-        L = jnp.linalg.cholesky(K)
+        L = _chol_xla(K)  # bf16-safe (f32 round trip; no bf16 chol kernel)
         dlam = cho_solve_lower(L, F)
 
         # Exact linesearch: along lam + t·dlam the dual q is concave

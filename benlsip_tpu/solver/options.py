@@ -149,9 +149,12 @@ class SolverOptions:
 
     def resolve_tols(self, dtype) -> "SolverOptions":
         """Fill None tolerances with sqrt(eps(dtype)) (ref :181-182)."""
-        import numpy as np
+        import math
 
-        se = float(np.sqrt(np.finfo(dtype).eps))
+        import jax.numpy as jnp
+
+        # jnp.finfo, not np.finfo: the latter rejects ml_dtypes (bf16).
+        se = float(math.sqrt(float(jnp.finfo(dtype).eps)))
         return dataclasses.replace(
             self,
             feas_tol=self.feas_tol if self.feas_tol is not None else se,

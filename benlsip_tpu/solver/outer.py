@@ -40,8 +40,10 @@ def initial_tolerances(mu, omega0, eta0, k_crit, k_feas):
 
 
 def default_atol(dtype) -> float:
-    """The reference's sqrt(eps(T)) working tolerance (ref :181-182)."""
-    return float(np.sqrt(np.finfo(np.dtype(str(jnp.dtype(dtype)))).eps))
+    """The reference's sqrt(eps(T)) working tolerance (ref :181-182).
+
+    jnp.finfo, not np.finfo: the latter rejects ml_dtypes (bf16)."""
+    return float(jnp.finfo(dtype).eps) ** 0.5
 
 
 class SolveInfo(NamedTuple):

@@ -109,3 +109,25 @@ def test_pipeline_overlap_matches_default():
     np.testing.assert_array_equal(np.asarray(X1), np.asarray(X2))
     np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y2))
     np.testing.assert_array_equal(np.asarray(i1.converged), np.asarray(i2.converged))
+
+
+def test_bf16_bulk_certifies_to_f64_grade():
+    """bulk_dtype=bf16 (VERDICT r2 #9): the bulk phase runs at MXU-native
+    bf16; certification is unchanged, so the pipeline must still deliver
+    f64-KKT-grade results (the bf16 point only needs to land in the
+    polish's Newton basin)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    bp, theta, X0 = exp_fit_family(96, d=32, seed=21, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    Xb, Yb, ib = solve_mixed_precision(
+        bp, theta, X0, opts, chunk=96, bulk_dtype=jnp.bfloat16
+    )
+    assert bool(np.all(np.asarray(ib.converged)))
+    Xf, Yf, if_ = solve_mixed_precision(bp, theta, X0, opts, chunk=96)
+    np.testing.assert_allclose(np.asarray(Xb), np.asarray(Xf), rtol=1e-7, atol=1e-8)
