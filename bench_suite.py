@@ -199,6 +199,8 @@ def config4(results, n=4096, d=16384):
             "converged": bool(info.converged),
             "outer": int(info.outer_iters),
             "inner": int(info.inner_iters),
+            "minor_iters": int(info.minor_iters),
+            "cg_iters": int(info.cg_iters),
             "sec_per_inner_iter": round(dt / max(int(info.inner_iters), 1), 4),
         }
     )

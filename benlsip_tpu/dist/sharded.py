@@ -171,12 +171,14 @@ def _resolve_blocked_options(options: SolverOptions) -> SolverOptions:
     every operator refresh (measured: 16.8 MB/iter at n=2048/d=8192/
     block=2 vs ~4 KB/iter for the Gram path, whose JᵀJ partial products
     psum only (n,n) — and XLA reuses the local GEMM).  "cholqr2" IS
-    distributable (its Gram passes psum, J stays local) and is the route
+    distributable (one psummed Gram pass, J stays local; the implicit
+    refinement is collective-free, ops/qr.cholqr2i_r) and is the route
     to force when κ-grade accuracy matters in the blocked f32 bulk; it is
-    not the auto default here because its refresh costs ~3 Gram-GEMM
-    passes and the blocked pipeline already defends conditioning with
-    matmul_precision="highest" plus the f64 certify phases — the measured
-    config-4 wall is refresh-heavy, so auto keeps the cheapest refresh.
+    not the auto default here because its refresh still costs ~2.3× the
+    Gram GEMM (measured 39 vs 17 ms at config-4 shape) and the blocked
+    pipeline already defends conditioning with matmul_precision="highest"
+    plus the f64 certify phases — the measured config-4 wall is
+    refresh-heavy, so auto keeps the cheapest refresh.
     """
     import dataclasses
 

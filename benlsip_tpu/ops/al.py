@@ -186,11 +186,15 @@ def with_r_factor_cholqr2(
     the second pass; any κ via the shift rescue) at the 97%-MFU kernel mix.
 
     Unlike the Householder route this *distributes*: with J row-sharded
-    over `axis` the two Gram passes reduce (n, n) partials with the
-    existing psum machinery and the triangular solves act on purely local
-    row blocks — no all-gather of J, which is what made Householder QR
-    unavailable under shard_map (solver/subproblem.py).  The μ CᵀC term
-    is added locally (C replicated, p small), mirroring `with_gram`.
+    over `axis` the Gram pass reduces (n, n) partials with the existing
+    psum machinery — no all-gather of J, which is what made Householder
+    QR unavailable under shard_map (solver/subproblem.py).  The
+    refinement pass is the *implicit* one (ops/qr._implicit_refine_upper):
+    G₂ = R₁⁻ᵀ G R₁⁻¹ from the already-reduced Gram, two (n, n) triangular
+    solves computed locally on every device — so the whole refresh
+    carries exactly ONE psum (the explicit pass would need a second one
+    for WᵀW).  The μ CᵀC term is added locally (C replicated, p small),
+    mirroring `with_gram`.
 
     layout="sharded" (requires `axis`) keeps only this device's n/D rows
     of R: H·v then costs one n-vector psum (hv below) and the persistent
@@ -201,7 +205,7 @@ def with_r_factor_cholqr2(
     Same LAPACK-surface replacement as `with_r_factor`
     (ref `/root/reference/src/basic_tralcnlss.jl:206, 897-901`).
     """
-    from .qr import _rescued_chol_upper
+    from .qr import _implicit_refine_upper, _rescued_chol_upper
 
     dtype = H.J.dtype
     compute = jnp.float32 if dtype == jnp.dtype(jnp.bfloat16) else dtype
@@ -210,13 +214,7 @@ def with_r_factor_cholqr2(
     mu = H.mu.astype(compute)
     G = _psum(J.T @ J, axis) + mu * (C.T @ C)
     R1 = _rescued_chol_upper(G)
-    WJ = jax.lax.linalg.triangular_solve(R1, J, left_side=False, lower=False)
-    WC = jax.lax.linalg.triangular_solve(
-        R1, jnp.sqrt(mu) * C, left_side=False, lower=False
-    )
-    G2 = _psum(WJ.T @ WJ, axis) + WC.T @ WC
-    R2 = _rescued_chol_upper(G2)
-    R = (R2 @ R1).astype(dtype)
+    R = _implicit_refine_upper(G, R1).astype(dtype)
     if axis is not None and layout == "sharded":
         from ..dist.collectives import axis_index
 

@@ -173,3 +173,50 @@ def cholqr2_r(S: Array) -> Array:
     G2 = jnp.swapaxes(W, -1, -2) @ W
     R2 = _rescued_chol_upper(G2)
     return (R2 @ R1).astype(dtype)
+
+
+def _implicit_refine_upper(G: Array, R1: Array) -> Array:
+    """Second CholeskyQR2 pass from the ALREADY-FORMED Gram: R with RᵀR = G.
+
+    The explicit refinement pass re-touches S twice (W = S R₁⁻¹, G₂ = WᵀW:
+    3dn² FLOPs).  But in exact arithmetic G₂ = R₁⁻ᵀ G R₁⁻¹ — computable
+    from the (n, n) Gram alone with two triangular solves (2n³ FLOPs, no S
+    traffic).  Measured at config-4 shape (n=4096, d=16384, f32, chip):
+    1.4× faster than the explicit pass, and in the row-sharded build the
+    second psum of an (n, n) partial disappears — the refinement is purely
+    local once G is reduced.
+
+    Robustness differs from the explicit pass in one way: explicit G₂=WᵀW
+    is a Gram, PSD by construction at any κ; the implicit congruence can
+    go indefinite once κ(S)²·eps ≳ 1 (measured: NaN at κ=1e10 f64 where
+    explicit survives).  A failed refinement chol therefore falls back to
+    R₂ = I, i.e. R = R₁ — the shifted single-CholeskyQR factor, whose
+    RᵀR = G + σI (σ = 2n·eps·tr G) still satisfies the operator contract
+    (`ops/al.hv` consumes RᵀRv only; multiplier solves use their own QR
+    of Cᵀ, solver/multipliers.py).  Standalone callers who need the
+    any-κ κ-accurate factor use `cholqr2_r` (explicit) instead.
+    """
+    T = lax.linalg.triangular_solve(R1, G, left_side=True, lower=False, transpose_a=True)
+    G2 = lax.linalg.triangular_solve(R1, T, left_side=False, lower=False)
+    G2 = 0.5 * (G2 + jnp.swapaxes(G2, -1, -2))
+    R2 = _chol_upper(G2)
+    bad = jnp.any(jnp.isnan(R2), axis=(-2, -1), keepdims=True)
+    eye = jnp.eye(G.shape[-1], dtype=G.dtype)
+    R2 = jnp.where(bad, eye, R2)
+    return R2 @ R1
+
+
+def cholqr2i_r(S: Array) -> Array:
+    """R factor of S via CholeskyQR2 with the implicit refinement pass.
+
+    One GEMM pass over S (the Gram), then n³-class work only — see
+    `_implicit_refine_upper` for the algebra, cost and the fallback
+    semantics.  The operator build (`ops/al.with_r_factor_cholqr2`) uses
+    this route; same LAPACK-surface replacement as `cholqr2_r`
+    (ref `/root/reference/src/basic_tralcnlss.jl:206, 897-901`).
+    """
+    dtype = S.dtype
+    Sc = S.astype(jnp.float32) if dtype == jnp.dtype(jnp.bfloat16) else S
+    G = jnp.swapaxes(Sc, -1, -2) @ Sc
+    R1 = _rescued_chol_upper(G)
+    return _implicit_refine_upper(G, R1).astype(dtype)

@@ -28,7 +28,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from benlsip_tpu.ops.al import AlHessian, hv, vhv, with_r_factor_cholqr2
-from benlsip_tpu.ops.qr import cholqr2_r, qr_r
+from benlsip_tpu.ops.qr import cholqr2_r, cholqr2i_r, qr_r
 from benlsip_tpu.solver.options import SolverOptions
 
 
@@ -61,6 +61,39 @@ def test_cholqr2_product_identity_ill_conditioned(dtype, kappa, rtol):
     rng = np.random.default_rng(1)
     S = _conditioned(rng, 192, 24, kappa, dtype)
     R = np.asarray(cholqr2_r(S), np.float64)
+    G = np.asarray(S, np.float64).T @ np.asarray(S, np.float64)
+    assert np.all(np.isfinite(R))
+    err = np.linalg.norm(R.T @ R - G) / np.linalg.norm(G)
+    assert err < rtol, err
+
+
+def test_cholqr2i_matches_explicit_and_householder():
+    """The implicit refinement (G₂ = R₁⁻ᵀGR₁⁻¹ from the already-formed
+    Gram, ops/qr.cholqr2i_r) reproduces the explicit pass in the working
+    regime — same R as Householder to O(eps·κ)."""
+    rng = np.random.default_rng(10)
+    S = _conditioned(rng, 256, 32, 1e3)
+    R_i = np.asarray(cholqr2i_r(S))
+    R_h = np.asarray(qr_r(S))
+    R_h = R_h * np.sign(np.diag(R_h))[:, None]
+    assert np.all(np.diag(R_i) > 0)
+    np.testing.assert_allclose(R_i, R_h, rtol=1e-8, atol=1e-11)
+    G = np.asarray(S, np.float64).T @ np.asarray(S, np.float64)
+    err = np.linalg.norm(R_i.astype(np.float64).T @ R_i.astype(np.float64) - G)
+    assert err / np.linalg.norm(G) < 1e-13
+
+
+@pytest.mark.parametrize("dtype,kappa,rtol", [
+    (np.float64, 1e10, 1e-7),   # implicit congruence goes indefinite → R₁ fallback
+    (np.float32, 1e5, 1e-4),    # shift-rescue regime in f32
+])
+def test_cholqr2i_fallback_keeps_operator_contract(dtype, kappa, rtol):
+    """Where the implicit G₂ goes indefinite (κ²·eps ≳ 1) the refinement
+    falls back to R = R₁: still finite, still RᵀR = G to the shift grade
+    (σ/‖G‖ = O(n·eps)) — the operator contract hv/vhv needs no more."""
+    rng = np.random.default_rng(11)
+    S = _conditioned(rng, 192, 24, kappa, dtype)
+    R = np.asarray(cholqr2i_r(S), np.float64)
     G = np.asarray(S, np.float64).T @ np.asarray(S, np.float64)
     assert np.all(np.isfinite(R))
     err = np.linalg.norm(R.T @ R - G) / np.linalg.norm(G)
