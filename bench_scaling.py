@@ -51,6 +51,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# The blocked-HLO compiles are minutes-long on this 2-core host; cache them
+# like bench.py does so a re-run (or a timeout-killed run) pays once.
+jax.config.update("jax_compilation_cache_dir", "/tmp/benlsip_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -212,7 +216,53 @@ def main():
                 continue
             if r.get("config") == 4 and "sec_per_inner_iter" in r:
                 chip_iter_s = r["sec_per_inner_iter"]
-    results = []
+
+    # Rows are written as soon as they are measured (a killed run keeps
+    # what it finished — the round-3 1200 s timeout lost a full buffer).
+    from benlsip_tpu.harness.metrics import MetricsWriter
+
+    w = MetricsWriter(args.out)
+
+    class _Emit(list):
+        def append(self, r):
+            r["device_model"] = "virtual-cpu-mesh (HLO analysis); " + (
+                "compute time from real v5e chip" if chip_iter_s else "no chip measurement found"
+            )
+            w.write(r)
+            print(json.dumps(r), flush=True)
+
+    results = _Emit()
+
+    if args.multihost:
+        # --- Measured 2-process sweep efficiency (config-5 execution
+        # shape): each process solves its local shard's chunks as
+        # independent programs; the recorded efficiency is the measured
+        # mean/max total-wall ratio — the exact loss term the DP model
+        # above names (tail imbalance), now a measurement, not a model.
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_multihost import run_mh_sweep
+
+        reports = run_mh_sweep(B=args.mh_batch, chunk=args.mh_chunk, port="12359")
+        totals = [r["total_wall_s"] for r in reports]
+        walls = [cw for r in reports for cw in r["chunk_walls_s"]]
+        results.append({
+            "config": "scaling-multihost-measured",
+            "processes": len(reports),
+            "B": args.mh_batch,
+            "chunk": args.mh_chunk,
+            "per_process_total_wall_s": totals,
+            "chunk_wall_mean_s": round(sum(walls) / len(walls), 4),
+            "chunk_wall_max_s": round(max(walls), 4),
+            "chunk_wall_spread": round((max(walls) - min(walls)) / max(walls), 4),
+            "efficiency_mean_over_max": round((sum(totals) / len(totals)) / max(totals), 4),
+            "converged": sum(r["converged"] for r in reports),
+            "note": "2-process jax.distributed CPU measurement (4 virtual "
+            "devices each, shared physical cores — absolute walls are "
+            "contended; the efficiency ratio is the measured quantity)",
+        })
+
 
     # --- DP path: prove zero collectives on the ('batch',) mesh. ---
     compiled, _ = compile_dp(args.dp_batch, 8)
@@ -284,44 +334,6 @@ def main():
         row["chip_iter_s_measured"] = chip_iter_s
         results.append(row)
 
-    if args.multihost:
-        # --- Measured 2-process sweep efficiency (config-5 execution
-        # shape): each process solves its local shard's chunks as
-        # independent programs; the recorded efficiency is the measured
-        # mean/max total-wall ratio — the exact loss term the DP model
-        # above names (tail imbalance), now a measurement, not a model.
-        import sys as _sys
-
-        _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-        from test_multihost import run_mh_sweep
-
-        reports = run_mh_sweep(B=args.mh_batch, chunk=args.mh_chunk, port="12359")
-        totals = [r["total_wall_s"] for r in reports]
-        walls = [w for r in reports for w in r["chunk_walls_s"]]
-        results.append({
-            "config": "scaling-multihost-measured",
-            "processes": len(reports),
-            "B": args.mh_batch,
-            "chunk": args.mh_chunk,
-            "per_process_total_wall_s": totals,
-            "chunk_wall_mean_s": round(sum(walls) / len(walls), 4),
-            "chunk_wall_max_s": round(max(walls), 4),
-            "chunk_wall_spread": round((max(walls) - min(walls)) / max(walls), 4),
-            "efficiency_mean_over_max": round((sum(totals) / len(totals)) / max(totals), 4),
-            "converged": sum(r["converged"] for r in reports),
-            "note": "2-process jax.distributed CPU measurement (4 virtual "
-            "devices each, shared physical cores — absolute walls are "
-            "contended; the efficiency ratio is the measured quantity)",
-        })
-
-    from benlsip_tpu.harness.metrics import MetricsWriter
-
-    w = MetricsWriter(args.out)
-    for r in results:
-        r["device_model"] = "virtual-cpu-mesh (HLO analysis); "
-        r["device_model"] += "compute time from real v5e chip" if chip_iter_s else "no chip measurement found"
-        w.write(r)
-        print(json.dumps(r), flush=True)
     w.close()
 
 

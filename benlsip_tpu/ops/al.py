@@ -92,19 +92,59 @@ def al_gradient(J: Array, C: Array, rx: Array, y_bar: Array, axis: str | None = 
     return _psum(J.T @ rx, axis) + C.T @ y_bar
 
 
-def with_gram(H: AlHessian, axis: str | None = None) -> AlHessian:
+def gram_j(J: Array, axis: str | None = None) -> Array:
+    """The (already-reduced) JᵀJ block of the Gram operator.
+
+    Split out so affine-residual problems (constant J — see
+    SolverOptions.linear_residuals) can pay the 2dn² GEMM ONCE and hand
+    the result to the `Gj=` parameter of the operator builders below on
+    every refresh; only the cheap mu·CᵀC term (p ≪ n) is then rebuilt.
+    bf16 J accumulates in f32 (the builders' compute precision).
+    """
+    Jc = J.astype(jnp.float32) if J.dtype == jnp.dtype(jnp.bfloat16) else J
+    return _psum(Jc.T @ Jc, axis)
+
+
+def with_gram(H: AlHessian, axis: str | None = None, Gj: Array | None = None) -> AlHessian:
     """Materialize G = JᵀJ + mu CᵀC into the operator (one (n,d)×(d,n) GEMM).
 
     In the row-sharded blocked-Jacobian mode J is sharded over its d axis, so
     JᵀJ is a per-chip partial product + one all-reduce of n² — paid once per
     Jacobian refresh instead of two psums per CG iteration (`axis` makes the
     reduce explicit under shard_map; under pjit XLA inserts it).
+    `Gj` (see `gram_j`) skips the GEMM and the psum for constant-J problems.
     """
-    G = _psum(H.J.T @ H.J, axis) + H.mu * (H.C.T @ H.C)
+    jtj = _psum(H.J.T @ H.J, axis) if Gj is None else Gj.astype(H.J.dtype)
+    G = jtj + H.mu * (H.C.T @ H.C)
     return AlHessian(H.J, H.C, H.mu, G)
 
 
-def with_gram_rows(H: AlHessian, axis: str, schedule: str = "xla") -> AlHessian:
+def gram_j_rows(J: Array, axis: str, schedule: str = "xla") -> Array:
+    """This device's n/D rows of the reduced JᵀJ (see `with_gram_rows`).
+
+    The constant-J cache for the row-sharded layout: computed once via
+    reduce-scatter (or the lazy ring), handed to `with_gram_rows(Gj_rows=)`
+    on every refresh.
+    """
+    from ..dist.collectives import psum_scatter, ring_psum_scatter_lazy
+
+    n = J.shape[1]
+    D = jax.lax.axis_size(axis)
+    if n % D:
+        raise ValueError(f"n={n} not divisible by mesh axis size {D} for the sharded Gram layout")
+    rows_per = n // D
+    if schedule == "ring":
+        def chunk(c):
+            Jc = jax.lax.dynamic_slice_in_dim(J, c * rows_per, rows_per, axis=1)
+            return Jc.T @ J
+
+        return ring_psum_scatter_lazy(chunk, axis)
+    return psum_scatter(J.T @ J, axis)
+
+
+def with_gram_rows(
+    H: AlHessian, axis: str, schedule: str = "xla", Gj_rows: Array | None = None
+) -> AlHessian:
     """Materialize the Gram operator ROW-SHARDED across `axis` (shard_map only).
 
     The replicated `with_gram` all-reduces the full (n, n) partial product
@@ -134,23 +174,14 @@ def with_gram_rows(H: AlHessian, axis: str, schedule: str = "xla") -> AlHessian:
     The μCᵀC term is added locally on this device's row block (C is
     replicated and p is small: slice C's columns, no (n, n) temporary).
     """
-    from ..dist.collectives import axis_index, psum_scatter, ring_psum_scatter_lazy
+    from ..dist.collectives import axis_index
 
     n = H.J.shape[1]
     D = jax.lax.axis_size(axis)
     if n % D:
         raise ValueError(f"n={n} not divisible by mesh axis size {D} for the sharded Gram layout")
     rows_per = n // D
-    if schedule == "ring":
-        def chunk(c):
-            # This device's contribution to row-chunk c of the global Gram:
-            # (n/D, n) built blockwise so the full (n, n) partial never exists.
-            Jc = jax.lax.dynamic_slice_in_dim(H.J, c * rows_per, rows_per, axis=1)
-            return Jc.T @ H.J
-
-        rows = ring_psum_scatter_lazy(chunk, axis)
-    else:
-        rows = psum_scatter(H.J.T @ H.J, axis)
+    rows = gram_j_rows(H.J, axis, schedule) if Gj_rows is None else Gj_rows.astype(H.J.dtype)
     start = axis_index(axis) * rows_per
     C_loc = jax.lax.dynamic_slice_in_dim(H.C, start, rows_per, axis=1)  # (p, n/D)
     rows = rows + H.mu * (C_loc.T @ H.C)
@@ -176,7 +207,10 @@ def with_r_factor(H: AlHessian) -> AlHessian:
 
 
 def with_r_factor_cholqr2(
-    H: AlHessian, axis: str | None = None, layout: str = "replicated"
+    H: AlHessian,
+    axis: str | None = None,
+    layout: str = "replicated",
+    Gj: Array | None = None,
 ) -> AlHessian:
     """Materialize R with RᵀR = JᵀJ + mu CᵀC via CholeskyQR2 (ops/qr.cholqr2_r).
 
@@ -209,10 +243,12 @@ def with_r_factor_cholqr2(
 
     dtype = H.J.dtype
     compute = jnp.float32 if dtype == jnp.dtype(jnp.bfloat16) else dtype
-    J = H.J.astype(compute)
     C = H.C.astype(compute)
     mu = H.mu.astype(compute)
-    G = _psum(J.T @ J, axis) + mu * (C.T @ C)
+    if Gj is None:
+        J = H.J.astype(compute)
+        Gj = _psum(J.T @ J, axis)
+    G = Gj.astype(compute) + mu * (C.T @ C)
     R1 = _rescued_chol_upper(G)
     R = _implicit_refine_upper(G, R1).astype(dtype)
     if axis is not None and layout == "sharded":

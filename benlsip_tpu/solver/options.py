@@ -107,6 +107,20 @@ class SolverOptions:
     # under vmap) or "cholqr2" at n ≥ 64 / under spmd_axis.  Also selects
     # the multiplier estimate's algebra (solver/multipliers.py): QR of Cᵀ
     # vs Cholesky of CCᵀ (ref :897-901).
+    linear_residuals: bool = False
+    # The residuals are AFFINE in x (constant Jacobian J) — constrained
+    # linear least squares, the workload class of BASELINE configs 3/4.
+    # The subproblem then computes the JᵀJ block of the Gram operator ONCE
+    # per subproblem (ops/al.gram_j) and every per-acceptance refresh
+    # rebuilds only the mu·CᵀC term (p ≪ n) + the factorization:
+    # profiler-measured, the 2dn² refresh GEMM is 88% of config-4 device
+    # time (docs/SCALING.md), so this removes most of the device work for
+    # linear problems.  Correctness contract: jac_res(x) must actually be
+    # x-independent — the solver cannot verify this and will silently use
+    # a stale JᵀJ if it is not.  No effect in matrix-free mode
+    # (gram_hessian off: H·v streams J, there is no refresh to cache) or
+    # on the Householder "qr" route (R of [J; sqrt(mu)C] has no reusable
+    # J-only block).
     tr_factor: float = 0.1       # initial radius = tr_factor*‖g‖ (ref :817-819)
     chol_reg: float = 0.0        # jitter on A Z Aᵀ factorizations
     spmd_axis: Optional[str] = None

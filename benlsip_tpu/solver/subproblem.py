@@ -160,19 +160,33 @@ def solve_subproblem(
             "which reduces (n, n) Grams through the existing psum machinery "
             "and never gathers J — or leave gn_factorization='auto'."
         )
+    # Constant-Jacobian cache (SolverOptions.linear_residuals): pay the
+    # 2dn² JᵀJ GEMM once per subproblem; refreshes rebuild only mu·CᵀC +
+    # the factorization.  No cache for matrix-free ops or Householder QR
+    # (nothing reusable there — see the option's docstring).
+    lin = opts.linear_residuals and use_op and fact != "qr"
+    Gj = Gj_rows = None
+    if lin:
+        from ..ops.al import gram_j, gram_j_rows
+
+        with jax.named_scope("gram_j_cache"):
+            if fact != "cholqr2" and ax is not None and opts.gram_layout == "sharded":
+                Gj_rows = gram_j_rows(H0.J, ax, opts.reduce_schedule)
+            else:
+                Gj = gram_j(H0.J, ax)
     if not use_op:
         materialize = lambda H: H
     elif fact == "qr":
         materialize = lambda H: with_r_factor(H)
     elif fact == "cholqr2":
         layout = opts.gram_layout if ax is not None else "replicated"
-        materialize = lambda H: with_r_factor_cholqr2(H, ax, layout)
+        materialize = lambda H: with_r_factor_cholqr2(H, ax, layout, Gj=Gj)
     elif ax is not None and opts.gram_layout == "sharded":
         # Row-sharded Gram: reduce-scatter the refresh, all_gather per
         # matvec (ops/al.with_gram_rows; SolverOptions.gram_layout).
-        materialize = lambda H: with_gram_rows(H, ax, opts.reduce_schedule)
+        materialize = lambda H: with_gram_rows(H, ax, opts.reduce_schedule, Gj_rows=Gj_rows)
     else:
-        materialize = lambda H: with_gram(H, ax)
+        materialize = lambda H: with_gram(H, ax, Gj=Gj)
     with jax.named_scope("gn_refresh"):
         H0 = materialize(H0)
     delta0 = initial_tr(g0, opts.tr_factor)
