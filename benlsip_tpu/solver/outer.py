@@ -28,7 +28,7 @@ from ..ops.constraints import Polyhedron
 from .multipliers import least_squares_multipliers
 from .options import SolverOptions
 from .status import SOLVE_CONVERGED, SOLVE_MAX_OUTER, SOLVE_STALLED
-from .subproblem import solve_subproblem
+from .subproblem import linear_gram_cache, solve_subproblem
 
 Array = jax.Array
 
@@ -127,8 +127,17 @@ def outer_done(c: OuterCarry, opts: SolverOptions) -> Array:
     return c.critical | (c.outer > opts.max_outer_iter) | (c.stall >= opts.outer_stall_window)
 
 
-def outer_body(fns, poly: Polyhedron, opts: SolverOptions, atol: float, c: OuterCarry) -> OuterCarry:
-    """One outer AL iteration (ref :246-295)."""
+def outer_body(
+    fns, poly: Polyhedron, opts: SolverOptions, atol: float, c: OuterCarry,
+    gram_cache: dict | None = None,
+) -> OuterCarry:
+    """One outer AL iteration (ref :246-295).
+
+    `gram_cache` is the once-per-solve constant-J cache
+    (subproblem.linear_gram_cache); callers that step the loop manually
+    (harness/checkpoint.py) may omit it — the subproblem then recomputes
+    the cache per call, which is correct, just one GEMM less amortized.
+    """
     # Tolerance floors (LANCELOT-style, absent in the reference): the
     # schedules drive omega/eta below the *final* tolerances, demanding
     # accuracy fp64 cannot certify — and a feasibility demand below
@@ -137,7 +146,9 @@ def outer_body(fns, poly: Polyhedron, opts: SolverOptions, atol: float, c: Outer
     omega_eff = jnp.maximum(c.omega, opts.crit_tol)
     eta_eff = jnp.maximum(c.eta, opts.feas_tol)
 
-    sub = solve_subproblem(fns, poly, c.x, c.y, c.mu, omega_eff, opts, atol)
+    sub = solve_subproblem(
+        fns, poly, c.x, c.y, c.mu, omega_eff, opts, atol, **(gram_cache or {})
+    )
     feas = jnp.linalg.norm(sub.cx)
 
     accept = feas <= eta_eff                     # ref :273
@@ -243,9 +254,12 @@ def solve_fixed_point(
     # converge on it for medium instances (see SolverOptions.matmul_precision).
     with jax.default_matmul_precision(opts.matmul_precision):
         c0 = outer_init(fns, poly, x0, opts)
+        # Constant-J problems: one J^T J GEMM for the whole solve
+        # (loop-invariant input to the while_loop below).
+        gram_cache = linear_gram_cache(fns, c0.x, opts)
         out = lax.while_loop(
             lambda c: ~outer_done(c, opts),
-            lambda c: outer_body(fns, poly, opts, atol, c),
+            lambda c: outer_body(fns, poly, opts, atol, c, gram_cache),
             c0,
         )
         # At a critical exit the reference skips the multiplier update

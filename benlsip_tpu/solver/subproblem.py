@@ -104,37 +104,14 @@ class SubproblemResult(NamedTuple):
     cg_iters: Array
 
 
-def solve_subproblem(
-    fns,
-    poly: Polyhedron,
-    x0: Array,
-    y: Array,
-    mu: Array,
-    omega_tol: Array,
-    opts: SolverOptions,
-    atol: float,
-) -> SubproblemResult:
-    """Mirror of `solve_subproblem` (ref `src/basic_tralcnlss.jl:303-378`).
+def resolve_operator_route(opts: SolverOptions, n: int, d_plus_p: int, dtype):
+    """Static (shape/dtype-based) operator-route resolution, shared by the
+    subproblem and the once-per-solve constant-J cache (`linear_gram_cache`).
 
-    `fns` holds the user callables (residuals, nlconstraints, jac_res,
-    jac_nlcons); they are closed over statically.  Returns the final iterate,
-    its residual/constraint values, the criticality measure pi, and the inner
-    iteration count.
+    Returns (use_op, fact): whether an (n,n) operator is materialized, and
+    the resolved gn_factorization ("normal"/"qr"/"cholqr2").
     """
-    dtype = x0.dtype
     ax = opts.spmd_axis
-
-    rx0, cx0, _, mx0, g0, H0 = new_point(
-        x0, y, mu, fns.residuals, fns.nlconstraints, fns.jac_res, fns.jac_nlcons,
-        axis=ax,
-    )
-    # Static (shape-based) decision: materialize an (n,n) operator when the
-    # Jacobian is tall enough that streaming it per H·v dominates (see
-    # SolverOptions.gram_hessian), built either as the Gram matrix or as
-    # the QR factor R per SolverOptions.gn_factorization.  Both while-loop
-    # branches below then carry the same pytree structure.
-    n = x0.shape[0]
-    d_plus_p = rx0.shape[0] + cx0.shape[0]
     use_op = opts.gram_hessian == "on" or (
         opts.gram_hessian == "auto" and n >= 64 and d_plus_p >= 2 * n
     )
@@ -160,13 +137,75 @@ def solve_subproblem(
             "which reduces (n, n) Grams through the existing psum machinery "
             "and never gathers J — or leave gn_factorization='auto'."
         )
+    return use_op, fact
+
+
+def linear_gram_cache(fns, x0: Array, opts: SolverOptions) -> dict:
+    """Constant-Jacobian JᵀJ cache, computed ONCE PER SOLVE.
+
+    For `opts.linear_residuals` problems the outer driver calls this before
+    its while_loop and threads the result into every subproblem — one 2dn²
+    GEMM per solve instead of one per subproblem (per outer iteration).
+    Returns {} when the option is off or the route has nothing to cache.
+    """
+    if not opts.linear_residuals:
+        return {}
+    ax = opts.spmd_axis
+    J0 = fns.jac_res(x0)
+    n = x0.shape[0]
+    d_plus_p = J0.shape[0] + jax.eval_shape(fns.nlconstraints, x0).shape[0]
+    use_op, fact = resolve_operator_route(opts, n, d_plus_p, x0.dtype)
+    if not use_op or fact == "qr":
+        return {}
+    from ..ops.al import gram_j, gram_j_rows
+
+    with jax.named_scope("gram_j_cache"):
+        if fact != "cholqr2" and ax is not None and opts.gram_layout == "sharded":
+            return {"Gj_rows": gram_j_rows(J0, ax, opts.reduce_schedule)}
+        return {"Gj": gram_j(J0, ax)}
+
+
+def solve_subproblem(
+    fns,
+    poly: Polyhedron,
+    x0: Array,
+    y: Array,
+    mu: Array,
+    omega_tol: Array,
+    opts: SolverOptions,
+    atol: float,
+    Gj: Array | None = None,
+    Gj_rows: Array | None = None,
+) -> SubproblemResult:
+    """Mirror of `solve_subproblem` (ref `src/basic_tralcnlss.jl:303-378`).
+
+    `fns` holds the user callables (residuals, nlconstraints, jac_res,
+    jac_nlcons); they are closed over statically.  Returns the final iterate,
+    its residual/constraint values, the criticality measure pi, and the inner
+    iteration count.
+    """
+    dtype = x0.dtype
+    ax = opts.spmd_axis
+
+    rx0, cx0, _, mx0, g0, H0 = new_point(
+        x0, y, mu, fns.residuals, fns.nlconstraints, fns.jac_res, fns.jac_nlcons,
+        axis=ax,
+    )
+    # Static (shape-based) decision: materialize an (n,n) operator when the
+    # Jacobian is tall enough that streaming it per H·v dominates (see
+    # SolverOptions.gram_hessian), built either as the Gram matrix or as
+    # the QR factor R per SolverOptions.gn_factorization.  Both while-loop
+    # branches below then carry the same pytree structure.
+    n = x0.shape[0]
+    use_op, fact = resolve_operator_route(opts, n, rx0.shape[0] + cx0.shape[0], dtype)
     # Constant-Jacobian cache (SolverOptions.linear_residuals): pay the
-    # 2dn² JᵀJ GEMM once per subproblem; refreshes rebuild only mu·CᵀC +
-    # the factorization.  No cache for matrix-free ops or Householder QR
-    # (nothing reusable there — see the option's docstring).
+    # 2dn² JᵀJ GEMM once; refreshes rebuild only mu·CᵀC + the
+    # factorization.  The outer driver precomputes it once per SOLVE and
+    # passes it in (`linear_gram_cache`); a direct subproblem call without
+    # one computes it here (once per subproblem).  No cache for matrix-free
+    # ops or Householder QR (nothing reusable — see the option's docstring).
     lin = opts.linear_residuals and use_op and fact != "qr"
-    Gj = Gj_rows = None
-    if lin:
+    if lin and Gj is None and Gj_rows is None:
         from ..ops.al import gram_j, gram_j_rows
 
         with jax.named_scope("gram_j_cache"):
@@ -174,6 +213,8 @@ def solve_subproblem(
                 Gj_rows = gram_j_rows(H0.J, ax, opts.reduce_schedule)
             else:
                 Gj = gram_j(H0.J, ax)
+    if not lin:
+        Gj = Gj_rows = None
     if not use_op:
         materialize = lambda H: H
     elif fact == "qr":
