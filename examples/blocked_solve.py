@@ -63,7 +63,10 @@ bp = BatchedProblem(
     xl=jnp.full(n, -3.0, jnp.float32),
     xu=jnp.full(n, 3.0, jnp.float32),
 )
-opts = SolverOptions(max_outer_iter=10, max_inner_iter=60)
+# The family is linear LSQ (constant J), so the J^T J Gram block is paid
+# once per solve instead of per accepted step (measured 2.3x at the
+# config-4 bench shape — docs/SCALING.md).
+opts = SolverOptions(max_outer_iter=10, max_inner_iter=60, linear_residuals=True)
 x0 = jnp.zeros(n, jnp.float32)
 
 for name, run in [
