@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--d", type=int, default=16384)
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--trace", default=None, help="capture a jax.profiler trace dir")
+    ap.add_argument("--linear", action="store_true",
+                    help="trace with SolverOptions.linear_residuals=True "
+                    "(the constant-J cache; the traced family is linear LSQ)")
     ap.add_argument("--out", default="bench_results.jsonl")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
@@ -201,7 +204,9 @@ def main():
             xl=jnp.full(n, -3.0, dtype), xu=jnp.full(n, 3.0, dtype),
         )
         mesh = make_mesh(batch=1, block=len(jax.devices()))
-        t_opts = SolverOptions(max_outer_iter=2, max_inner_iter=6)
+        t_opts = SolverOptions(
+            max_outer_iter=2, max_inner_iter=6, linear_residuals=args.linear
+        )
         # Warm (compile) OUTSIDE the trace; trace one warm solve.
         out = solve_large_blocked_family(bp, {"J": J, "y": y}, jnp.zeros(n, dtype), t_opts, mesh)
         _sync(out[0])

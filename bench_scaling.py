@@ -51,10 +51,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# The blocked-HLO compiles are minutes-long on this 2-core host; cache them
-# like bench.py does so a re-run (or a timeout-killed run) pays once.
-jax.config.update("jax_compilation_cache_dir", "/tmp/benlsip_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -183,6 +179,14 @@ def compile_dp_shardmap(B: int, batch_devices: int):
 
 
 def main():
+    # The blocked-HLO compiles are minutes-long on this 2-core host; cache
+    # them like bench.py does so a re-run (or a timeout-killed run) pays
+    # once.  Set HERE, not at module level: tests import this module for
+    # `collective_stats`, and enabling the persistent cache inside the
+    # test process makes jax serialize every CPU executable it compiles —
+    # measured to SEGFAULT the full-suite run at executable.serialize().
+    jax.config.update("jax_compilation_cache_dir", "/tmp/benlsip_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", default="1,2,4,8")
     ap.add_argument("--n", type=int, default=2048)
