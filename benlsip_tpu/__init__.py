@@ -23,6 +23,7 @@ from .ops.polyproject import projection_polyhedron
 from .ops.project import project_tangent
 from .solver.api import NLSFunctions, Problem, solve, tralcnllss
 from .solver.options import SolverOptions
+from .solver.transforms import LiftedProblem, with_inequalities
 from .solver.outer import SolveInfo
 
 __version__ = "0.1.0"
@@ -42,6 +43,8 @@ __all__ = [
     "new_point",
     "project_tangent",
     "projection_polyhedron",
+    "LiftedProblem",
+    "with_inequalities",
     "second_derivatives",
     "solve",
     "tralcnllss",

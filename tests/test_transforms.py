@@ -1,0 +1,134 @@
+"""Inequality-constraint slack transform (solver/transforms.py).
+
+The reference has no inequality support at all
+(`/root/reference/src/basic_tralcnlss.jl:167-197` — equalities + bounds
+only); `with_inequalities` reduces g(x) ≥ 0 / Gx ≥ h to the supported
+form.  Fixtures have known analytic solutions so the lifted solve is
+checked against ground truth, active and inactive cases both.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from benlsip_tpu import Problem, SolverOptions, solve, with_inequalities
+
+
+OPTS = SolverOptions(max_outer_iter=60, max_inner_iter=200)
+
+
+def test_linear_inequality_active():
+    """min ‖x − p‖² s.t. x₁ + x₂ ≥ 1, with p inside the cut half-plane:
+    solution is the Euclidean projection onto the line x₁ + x₂ = 1."""
+    p = jnp.asarray([0.2, 0.1])
+    prob = Problem(residuals=lambda x: x - p)
+    lift = with_inequalities(prob, p, G=jnp.asarray([[1.0, 1.0]]), h=jnp.asarray([1.0]))
+    z, y, info = solve(lift.problem, lift.z0, OPTS)
+    assert bool(info.converged)
+    x = np.asarray(lift.unlift(z))
+    # Projection of p onto {x1+x2=1}: p + (1 − p·1)/2 · 1
+    expect = np.asarray(p) + (1 - float(p.sum())) / 2.0
+    np.testing.assert_allclose(x, expect, rtol=1e-7, atol=1e-8)
+    _, t = lift.slacks(z)
+    np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-7)  # active
+
+
+def test_linear_inequality_inactive():
+    """Same geometry with p already feasible: constraint inactive, x* = p,
+    slack strictly positive."""
+    p = jnp.asarray([0.9, 0.8])
+    prob = Problem(residuals=lambda x: x - p)
+    lift = with_inequalities(prob, p, G=jnp.asarray([[1.0, 1.0]]), h=jnp.asarray([1.0]))
+    z, y, info = solve(lift.problem, lift.z0, OPTS)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(lift.unlift(z)), np.asarray(p), atol=1e-8)
+    _, t = lift.slacks(z)
+    assert float(t[0]) > 0.5  # 1.7 − 1 = 0.7 slack
+
+
+def test_nonlinear_inequality_disk():
+    """min ‖x − p‖² s.t. ‖x‖² ≤ 1 (as g(x) = 1 − ‖x‖² ≥ 0), p outside the
+    disk: solution is p/‖p‖, inequality active."""
+    p = jnp.asarray([1.8, 0.6])
+    prob = Problem(residuals=lambda x: x - p)
+    lift = with_inequalities(prob, jnp.asarray([0.5, 0.2]),
+                             nl_ineq=lambda x: jnp.asarray([1.0 - x @ x]))
+    z, y, info = solve(lift.problem, lift.z0, OPTS)
+    assert bool(info.converged)
+    x = np.asarray(lift.unlift(z))
+    expect = np.asarray(p) / np.linalg.norm(np.asarray(p))
+    np.testing.assert_allclose(x, expect, rtol=1e-6, atol=1e-7)
+    s, _ = lift.slacks(z)
+    np.testing.assert_allclose(np.asarray(s), 0.0, atol=1e-6)
+
+
+def test_mixed_equality_inequality_and_bounds():
+    """All blocks at once: equality Ax=b, nonlinear inequality, bounds.
+    min ‖x − p‖² s.t. x₁ + x₂ + x₃ = 1.5, x₃ ≥ x₁² (lifted), 0 ≤ x ≤ 1.
+    Checked against a scipy ground truth."""
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    p = np.asarray([0.9, 0.9, 0.1])
+    A = jnp.asarray([[1.0, 1.0, 1.0]])
+    b = jnp.asarray([1.5])
+    prob = Problem(
+        residuals=lambda x: x - jnp.asarray(p),
+        A=A, b=b, xl=jnp.zeros(3), xu=jnp.ones(3),
+    )
+    lift = with_inequalities(
+        prob, jnp.asarray([0.4, 0.4, 0.7]),
+        nl_ineq=lambda x: jnp.asarray([x[2] - x[0] ** 2]),
+    )
+    z, y, info = solve(lift.problem, lift.z0, OPTS)
+    assert bool(info.converged)
+    x = np.asarray(lift.unlift(z))
+
+    res = scipy_opt.minimize(
+        lambda v: 0.5 * np.sum((v - p) ** 2), np.asarray([0.4, 0.4, 0.7]),
+        constraints=[
+            {"type": "eq", "fun": lambda v: v.sum() - 1.5},
+            {"type": "ineq", "fun": lambda v: v[2] - v[0] ** 2},
+        ],
+        bounds=[(0.0, 1.0)] * 3, method="SLSQP",
+        options={"ftol": 1e-12, "maxiter": 500},
+    )
+    assert res.success
+    np.testing.assert_allclose(x, res.x, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_lifted_family():
+    """The lifted problem vmaps like any other: a small batched family
+    with per-instance targets, every instance converging."""
+    from benlsip_tpu.batch.vmap_solve import BatchedProblem, solve_batched
+
+    B = 8
+    rng = np.random.default_rng(0)
+    P_ = jnp.asarray(rng.uniform(0.5, 2.0, (B, 2)))
+    lift = with_inequalities(
+        Problem(residuals=lambda x: x - P_[0]), P_[0],
+        nl_ineq=lambda x: jnp.asarray([1.0 - x @ x]),
+    )
+    nz = lift.z0.shape[0]
+
+    bp = BatchedProblem(
+        residuals=lambda z, th: z[:2] - th["p"],
+        nlconstraints=lambda z, th: jnp.asarray([1.0 - z[:2] @ z[:2] - z[2]]),
+        A=lift.problem.A, b=lift.problem.b,
+        xl=lift.problem.xl, xu=lift.problem.xu,
+    )
+    Z0 = jnp.concatenate(
+        [P_ / jnp.linalg.norm(P_, axis=1, keepdims=True) * 0.5,
+         jnp.full((B, 1), 0.5)], axis=1)
+    Z, Y, info = solve_batched(bp, {"p": P_}, Z0, OPTS)
+    assert bool(jnp.all(info.converged))
+    X = np.asarray(Z[:, :2])
+    Pn = np.asarray(P_)
+    nrm = np.linalg.norm(Pn, axis=1, keepdims=True)
+    # ‖p‖ > 1 → projection onto the unit circle; ‖p‖ ≤ 1 → x* = p
+    # (inactive disk constraint; e.g. seed-0 instance 1 has ‖p‖ = 0.77).
+    expect = np.where(nrm > 1.0, Pn / nrm, Pn)
+    np.testing.assert_allclose(X, expect, rtol=1e-6, atol=1e-6)
