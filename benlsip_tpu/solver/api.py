@@ -84,8 +84,15 @@ def solve(
     x0: Array,
     options: SolverOptions = SolverOptions(),
     jit: bool = True,
+    y0: Optional[Array] = None,
 ) -> Tuple[Array, Array, SolveInfo]:
-    """Solve a constrained NLS problem from x0; returns (x, y, info)."""
+    """Solve a constrained NLS problem from x0; returns (x, y, info).
+
+    `y0` warm-starts the nonlinear-constraint multipliers — continuation
+    and parameter sweeps reuse the previous solve's y to skip the early
+    multiplier-correction outer iterations; None (default) computes the
+    reference's least-squares estimate (ref :887-902).
+    """
     x0 = jnp.asarray(x0)
     fns, poly = problem.build(x0.shape[0], x0.dtype)
 
@@ -103,11 +110,18 @@ def solve(
             options.eta1, options.eta2, options.gamma1, options.gamma2,
         )
 
-    def run(poly_, x0_):
-        return solve_fixed_point(fns, poly_, x0_, options)
+    if y0 is None:
+        def run(poly_, x0_):
+            return solve_fixed_point(fns, poly_, x0_, options)
 
-    run_c = jax.jit(run) if jit else run
-    return run_c(poly, x0)
+        run_c = jax.jit(run) if jit else run
+        return run_c(poly, x0)
+
+    def run_warm(poly_, x0_, y0_):
+        return solve_fixed_point(fns, poly_, x0_, options, y0_)
+
+    run_c = jax.jit(run_warm) if jit else run_warm
+    return run_c(poly, x0, jnp.asarray(y0))
 
 
 def tralcnllss(

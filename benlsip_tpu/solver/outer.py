@@ -81,9 +81,15 @@ class OuterCarry(NamedTuple):
     critical: Array
 
 
-def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCarry:
+def outer_init(
+    fns, poly: Polyhedron, x0: Array, opts: SolverOptions, y0: Array | None = None
+) -> OuterCarry:
     """Initial carry: projection of x0, LS multipliers, tolerance schedule
-    (ref :204-231)."""
+    (ref :204-231).
+
+    `y0` warm-starts the constraint multipliers (continuation/sweep reuse:
+    a good y skips the first multiplier-correction outer iterations); None
+    keeps the reference's least-squares estimate (ref :887-902)."""
     dtype = x0.dtype
     if opts.project_x0:
         from ..ops.polyproject import projection_polyhedron
@@ -99,11 +105,14 @@ def outer_init(fns, poly: Polyhedron, x0: Array, opts: SolverOptions) -> OuterCa
         opts.gn_factorization == "auto"
         and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
     )
-    y0 = least_squares_multipliers(
-        x0, fns.residuals, fns.jac_res, fns.jac_nlcons,
-        method="qr" if use_qr_mult else "normal",
-        axis=opts.spmd_axis,
-    )
+    if y0 is None:
+        y0 = least_squares_multipliers(
+            x0, fns.residuals, fns.jac_res, fns.jac_nlcons,
+            method="qr" if use_qr_mult else "normal",
+            axis=opts.spmd_axis,
+        )
+    else:
+        y0 = jnp.asarray(y0, dtype)
     return OuterCarry(
         x=x0,
         y=y0,
@@ -239,6 +248,7 @@ def solve_fixed_point(
     poly: Polyhedron,
     x0: Array,
     opts: SolverOptions,
+    y0: Array | None = None,
 ):
     """Run the full TRALCNLLS iteration from x0; returns (x, y, SolveInfo).
 
@@ -253,7 +263,7 @@ def solve_fixed_point(
     # TPU MXU's default f32 path is bf16-precision and Gauss-Newton cannot
     # converge on it for medium instances (see SolverOptions.matmul_precision).
     with jax.default_matmul_precision(opts.matmul_precision):
-        c0 = outer_init(fns, poly, x0, opts)
+        c0 = outer_init(fns, poly, x0, opts, y0)
         # Constant-J problems: one J^T J GEMM for the whole solve
         # (loop-invariant input to the while_loop below).
         gram_cache = linear_gram_cache(fns, c0.x, opts)

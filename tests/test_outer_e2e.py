@@ -100,3 +100,22 @@ def test_linear_equality_only():
     )
     x, y, info = solve(problem, jnp.asarray([1.0, 0.0, 0.0, 0.0]))
     np.testing.assert_allclose(np.asarray(x), np.full(n, 0.25), atol=1e-7)
+
+
+def test_warm_start_multipliers():
+    """solve(..., y0=...) warm-starts the constraint multipliers: same
+    solution, no more outer iterations than the cold least-squares start
+    (the continuation/sweep reuse pattern; the reference always recomputes
+    its LS estimate, ref :887-902)."""
+    import numpy as np
+
+    from benlsip_tpu import SolverOptions, solve
+    from benlsip_tpu.problems import sphere_regression as sr
+
+    opts = SolverOptions(max_outer_iter=100, max_inner_iter=250)
+    x_c, y_c, info_c = solve(sr.make_problem(), sr.x0(), opts)
+    assert bool(info_c.converged)
+    x_w, y_w, info_w = solve(sr.make_problem(), sr.x0(), opts, y0=y_c)
+    assert bool(info_w.converged)
+    np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_c), rtol=1e-7, atol=1e-9)
+    assert int(info_w.outer_iters) <= int(info_c.outer_iters)

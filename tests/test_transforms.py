@@ -112,7 +112,6 @@ def test_batched_lifted_family():
         Problem(residuals=lambda x: x - P_[0]), P_[0],
         nl_ineq=lambda x: jnp.asarray([1.0 - x @ x]),
     )
-    nz = lift.z0.shape[0]
 
     bp = BatchedProblem(
         residuals=lambda z, th: z[:2] - th["p"],
@@ -132,3 +131,45 @@ def test_batched_lifted_family():
     # (inactive disk constraint; e.g. seed-0 instance 1 has ‖p‖ = 0.77).
     expect = np.where(nrm > 1.0, Pn / nrm, Pn)
     np.testing.assert_allclose(X, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_hs21_linear_inequality():
+    """HS21 (Hock–Schittkowski): min 0.01x₁² + x₂² − 100 s.t.
+    10x₁ − x₂ ≥ 10, 2 ≤ x₁ ≤ 50, −50 ≤ x₂ ≤ 50.  Published optimum
+    x* = (2, 0), f* = −99.96 — a bound-active solution with the linear
+    inequality INACTIVE (10·2 − 0 = 20 > 10), exercising the slack's
+    interior case on a published problem."""
+    prob = Problem(
+        residuals=lambda x: jnp.asarray([jnp.sqrt(0.02) * x[0], jnp.sqrt(2.0) * x[1]]),
+        xl=jnp.asarray([2.0, -50.0]), xu=jnp.asarray([50.0, 50.0]),
+    )
+    lift = with_inequalities(prob, jnp.asarray([-1.0, -1.0]),
+                             G=jnp.asarray([[10.0, -1.0]]), h=jnp.asarray([10.0]))
+    z, y, info = solve(lift.problem, lift.z0, OPTS)
+    assert bool(info.converged)
+    x = np.asarray(lift.unlift(z))
+    np.testing.assert_allclose(x, [2.0, 0.0], atol=1e-7)
+    f = 0.01 * x[0] ** 2 + x[1] ** 2 - 100
+    np.testing.assert_allclose(f, -99.96, atol=1e-9)
+
+
+def test_hs15_nonlinear_inequalities():
+    """HS15: min 100(x₂ − x₁²)² + (1 − x₁)² s.t. x₁x₂ ≥ 1, x₁ + x₂² ≥ 0,
+    x₁ ≤ 0.5, from the book's start (−2, 1).  Published optimum
+    x* = (0.5, 2), f* = 306.5 — both the bound and the first nonlinear
+    inequality active (0.5 · 2 = 1), a nonconvex problem where the AL
+    machinery must track the active inequality through the slack."""
+    prob = Problem(
+        residuals=lambda x: jnp.asarray([10 * (x[1] - x[0] ** 2), 1 - x[0]]),
+        xu=jnp.asarray([0.5, jnp.inf]),
+    )
+    lift = with_inequalities(
+        prob, jnp.asarray([-2.0, 1.0]),
+        nl_ineq=lambda x: jnp.asarray([x[0] * x[1] - 1.0, x[0] + x[1] ** 2]),
+    )
+    z, y, info = solve(lift.problem, lift.z0, OPTS)
+    assert bool(info.converged)
+    x = np.asarray(lift.unlift(z))
+    np.testing.assert_allclose(x, [0.5, 2.0], atol=1e-6)
+    f = 100 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+    np.testing.assert_allclose(f, 306.5, atol=1e-7)
