@@ -93,10 +93,17 @@ def _time_numpy_baseline(bp, theta, X0, k):
     A_np = np.asarray(bp.A)
     xl = np.asarray(bp.xl)
     xu = np.asarray(bp.xu)
-    t0 = time.perf_counter()
-    _, conv = solve_exp_fit_numpy(t_np, y_np, A_np, b_np, xl, xu, X0_np)
-    dt = time.perf_counter() - t0
-    return dt, conv
+    # Best of 3, like the pipeline timing: single-rep host walls on this VM
+    # jitter ~1.8x (measured 189-347 problems/s across runs), which would
+    # dominate vs_baseline.  min() on BOTH sides is symmetric — and
+    # conservative for the ratio, since it credits the baseline its
+    # fastest run too.
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, conv = solve_exp_fit_numpy(t_np, y_np, A_np, b_np, xl, xu, X0_np)
+        walls.append(time.perf_counter() - t0)
+    return min(walls), conv
 
 
 def _time_sequential_cpu(bp, theta, X0, opts, k):
@@ -138,12 +145,15 @@ def _config3_summary(dev):
 
     k = 8
     J_np = np.asarray(bp.jac_res(X0[0], jax.tree.map(lambda a: a[0], theta)))
-    t0 = time.perf_counter()
-    _, conv_np = solve_dense_lsq_numpy(
-        J_np, np.asarray(theta["y"][:k]), np.asarray(bp.A), np.asarray(bp.b),
-        np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
-    )
-    np_dt = time.perf_counter() - t0
+    np_walls = []
+    for _ in range(3):  # best-of-3, symmetric with the pipeline timing
+        t0 = time.perf_counter()
+        _, conv_np = solve_dense_lsq_numpy(
+            J_np, np.asarray(theta["y"][:k]), np.asarray(bp.A), np.asarray(bp.b),
+            np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
+        )
+        np_walls.append(time.perf_counter() - t0)
+    np_dt = min(np_walls)
     np_rate = max(conv_np, 1) / np_dt
     return {
         "config3_rate": round(rate, 2),
@@ -169,13 +179,16 @@ def _config5_summary(dev, B=16384):
     rate = conv / dt
 
     k = 64
-    t0 = time.perf_counter()
-    _, conv_np = solve_exp_fit_numpy(
-        np.asarray(theta["t"][:k]), np.asarray(theta["y"][:k]),
-        np.asarray(bp.A), np.asarray(bp.b[:k]),
-        np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
-    )
-    np_dt = time.perf_counter() - t0
+    np_walls = []
+    for _ in range(3):  # best-of-3, symmetric with the pipeline timing
+        t0 = time.perf_counter()
+        _, conv_np = solve_exp_fit_numpy(
+            np.asarray(theta["t"][:k]), np.asarray(theta["y"][:k]),
+            np.asarray(bp.A), np.asarray(bp.b[:k]),
+            np.asarray(bp.xl), np.asarray(bp.xu), np.asarray(X0[:k]),
+        )
+        np_walls.append(time.perf_counter() - t0)
+    np_dt = min(np_walls)
     np_rate = max(conv_np, 1) / np_dt
     return {
         "config5_rate": round(rate, 1),
