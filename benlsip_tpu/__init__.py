@@ -24,6 +24,7 @@ from .ops.project import project_tangent
 from .solver.api import NLSFunctions, Problem, solve, tralcnllss
 from .solver.options import SolverOptions
 from .solver.transforms import LiftedProblem, with_inequalities
+from .compat import OptimizeResult, least_squares
 from .solver.outer import SolveInfo
 
 __version__ = "0.1.0"
@@ -44,6 +45,8 @@ __all__ = [
     "project_tangent",
     "projection_polyhedron",
     "LiftedProblem",
+    "OptimizeResult",
+    "least_squares",
     "with_inequalities",
     "second_derivatives",
     "solve",

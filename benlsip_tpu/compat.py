@@ -1,0 +1,149 @@
+"""scipy.optimize-compatible entry points.
+
+`least_squares` mirrors the call surface of
+`scipy.optimize.least_squares` (fun/x0/jac/bounds/tolerances) so
+bound-constrained NLS code written against scipy ports by changing one
+import — and gains everything underneath: jit compilation, TPU
+execution, equality constraints (`A_eq`/`b_eq` and `nl_eq` extensions),
+and `jax.vmap` batchability of the returned solver core.
+
+The reference package has no such compatibility surface (its only entry
+is the positional `tralcnllss`, `/root/reference/src/basic_tralcnlss.jl:167`);
+this is an adoption affordance, not a parity item.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .solver.api import Problem, solve
+from .solver.options import SolverOptions
+from .solver.outer import SolveInfo
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class OptimizeResult:
+    """scipy-shaped result object (attribute-compatible subset).
+
+    `status`/`message` carry this framework's codes; `optimality` is the
+    exact projected-gradient KKT measure pi(x) (the reference tests'
+    oracle), stricter than scipy's first-order optimality for bound-only
+    problems.
+    """
+
+    x: Array
+    cost: float
+    fun: Array
+    jac: Array
+    grad: Array
+    optimality: float
+    active_mask: Array
+    nit: int
+    status: int
+    success: bool
+    message: str
+    info: SolveInfo
+
+    def __repr__(self):  # compact, scipy-style
+        return (
+            f"OptimizeResult(success={self.success}, cost={self.cost:.6g}, "
+            f"optimality={self.optimality:.3g}, nit={self.nit})"
+        )
+
+
+_MESSAGES = {
+    1: "Convergence: KKT criticality and feasibility tolerances satisfied.",
+    2: "Maximum number of outer iterations reached.",
+    3: "Stalled: criticality at its numerical floor above gtol.",
+}
+
+
+def least_squares(
+    fun: Callable[..., Array],
+    x0: Array,
+    jac: Optional[Callable[..., Array]] = None,
+    bounds: Tuple[Any, Any] | Sequence[Any] = (-jnp.inf, jnp.inf),
+    args: Tuple = (),
+    gtol: Optional[float] = None,
+    max_nfev: Optional[int] = None,
+    A_eq: Optional[Array] = None,
+    b_eq: Optional[Array] = None,
+    nl_eq: Optional[Callable[[Array], Array]] = None,
+    options: Optional[SolverOptions] = None,
+    jit: bool = True,
+) -> OptimizeResult:
+    """Solve min ½‖fun(x)‖² with bounds (+ optional equality constraints).
+
+    scipy-compatible subset: `fun(x, *args)` returns the residual vector;
+    `jac` its (d, n) Jacobian (autodiff when None — scipy's '2-point'
+    finite differences have no reason to exist under jax); `bounds` is
+    the scipy 2-tuple `(lb, ub)` of scalars or arrays; `gtol` maps to the
+    KKT criticality tolerance; `max_nfev` caps total inner iterations
+    (residual evaluations happen once per inner TR candidate).
+
+    Beyond scipy: `A_eq`/`b_eq` (linear equalities) and `nl_eq`
+    (nonlinear equalities) pass straight through to the constrained
+    solver — scipy's least_squares cannot express these at all.  For
+    inequality constraints compose with
+    `benlsip_tpu.with_inequalities` first.
+    """
+    x0 = jnp.atleast_1d(jnp.asarray(x0))
+    n = x0.shape[0]
+    dtype = x0.dtype
+
+    lb, ub = bounds[0], bounds[1]
+    xl = jnp.broadcast_to(jnp.asarray(lb, dtype), (n,))
+    xu = jnp.broadcast_to(jnp.asarray(ub, dtype), (n,))
+
+    residuals = (lambda x: fun(x, *args)) if args else fun
+    jac_res = (lambda x: jac(x, *args)) if (jac and args) else jac
+
+    opts = options or SolverOptions()
+    updates = {}
+    if gtol is not None:
+        updates["crit_tol"] = gtol
+    if max_nfev is not None:
+        updates["max_inner_iter"] = int(max_nfev)
+    if updates:
+        opts = dataclasses.replace(opts, **updates)
+
+    problem = Problem(
+        residuals=residuals,
+        jac_res=jac_res,
+        nlconstraints=nl_eq,
+        A=A_eq,
+        b=b_eq,
+        xl=xl,
+        xu=xu,
+    )
+    x, y, info = solve(problem, x0, opts, jit=jit)
+
+    fns, poly = problem.build(n, dtype)
+    rx = fns.residuals(x)
+    J = fns.jac_res(x)
+    grad = J.T @ rx
+    tol = jnp.finfo(dtype).eps ** 0.5
+    active = jnp.where(
+        x - poly.xl <= tol * (1 + jnp.abs(x)), -1,
+        jnp.where(poly.xu - x <= tol * (1 + jnp.abs(x)), 1, 0),
+    )
+    status = int(info.status)
+    return OptimizeResult(
+        x=x,
+        cost=float(0.5 * jnp.vdot(rx, rx).real),
+        fun=rx,
+        jac=J,
+        grad=grad,
+        optimality=float(info.pix),
+        active_mask=active,
+        nit=int(info.inner_iters),
+        status=status,
+        success=bool(info.converged),
+        message=_MESSAGES.get(status, f"status {status}"),
+        info=info,
+    )

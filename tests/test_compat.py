@@ -1,0 +1,75 @@
+"""scipy-compatible least_squares wrapper (benlsip_tpu/compat.py).
+
+Cross-checked against scipy.optimize.least_squares on the same problems:
+same minimizer, scipy-shaped result attributes, active_mask semantics.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from benlsip_tpu import least_squares
+
+
+def _rosenbrock(x):
+    return jnp.asarray([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+
+def test_unbounded_rosenbrock_matches_scipy():
+    sp = pytest.importorskip("scipy.optimize")
+    res = least_squares(_rosenbrock, jnp.asarray([-1.2, 1.0]))
+    ref = sp.least_squares(
+        lambda v: np.asarray(_rosenbrock(jnp.asarray(v))), [-1.2, 1.0]
+    )
+    assert res.success
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-7)
+    assert res.cost < 1e-14
+    np.testing.assert_allclose(np.asarray(res.active_mask), 0)
+    assert res.fun.shape == (2,) and res.jac.shape == (2, 2)
+
+
+def test_bounded_matches_scipy():
+    """Bound binds at the solution: x1 <= 0.8 cuts the Rosenbrock valley."""
+    sp = pytest.importorskip("scipy.optimize")
+    bounds = ([-2.0, -2.0], [0.8, 2.0])
+    res = least_squares(_rosenbrock, jnp.asarray([-1.2, 1.0]), bounds=bounds)
+    ref = sp.least_squares(
+        lambda v: np.asarray(_rosenbrock(jnp.asarray(v))), [-1.2, 1.0],
+        bounds=bounds, xtol=1e-15, gtol=1e-12,
+    )
+    assert res.success
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-6)
+    assert int(res.active_mask[0]) == 1  # upper bound active
+    assert res.optimality < 1.5e-8
+
+
+def test_args_and_explicit_jac():
+    """fun(x, *args) + hand-coded jac route; linear problem, exact answer."""
+    A = jnp.asarray([[2.0, 0.0], [0.0, 3.0], [1.0, 1.0]])
+    b = jnp.asarray([2.0, 3.0, 2.0])
+    res = least_squares(
+        lambda x, M, y: M @ x - y,
+        jnp.zeros(2),
+        jac=lambda x, M, y: M,
+        args=(A, b),
+    )
+    assert res.success
+    expect = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-9)
+
+
+def test_equality_extension_beyond_scipy():
+    """A_eq/b_eq — the surface scipy cannot express: projection onto a
+    line segment via NLS with a linear equality."""
+    p = jnp.asarray([0.3, 0.9])
+    res = least_squares(
+        lambda x: x - p, jnp.zeros(2),
+        A_eq=jnp.asarray([[1.0, 1.0]]), b_eq=jnp.asarray([1.0]),
+    )
+    assert res.success
+    expect = np.asarray(p) + (1 - float(p.sum())) / 2.0
+    np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-8)
