@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--out", default="bench_results.jsonl")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
+    if args.linear and not args.trace:
+        # The phase microbenches time raw kernels (no solver), so --linear
+        # only affects the traced solve; without --trace it would be a
+        # silent no-op recorded as if it changed the numbers.
+        ap.error("--linear only affects the traced solve; pass --trace DIR with it")
     n, d, m = args.n, args.d, args.m
 
     from benlsip_tpu.harness.roofline import V5E, RooflineRow

@@ -43,6 +43,8 @@ class OptimizeResult:
     grad: Array
     optimality: float
     active_mask: Array
+    nfev: int            # residual evaluations (one per inner TR candidate)
+    njev: Optional[int]  # None: jacobian evals happen only on accepted steps
     nit: int
     status: int
     success: bool
@@ -83,8 +85,10 @@ def least_squares(
     `jac` its (d, n) Jacobian (autodiff when None — scipy's '2-point'
     finite differences have no reason to exist under jax); `bounds` is
     the scipy 2-tuple `(lb, ub)` of scalars or arrays; `gtol` maps to the
-    KKT criticality tolerance; `max_nfev` caps total inner iterations
-    (residual evaluations happen once per inner TR candidate).
+    KKT criticality tolerance; `max_nfev` caps TR iterations per AL
+    subproblem AND the number of subproblems (an exact total-evaluation
+    budget does not map onto the two-level AL method — the realized
+    count is returned as `nfev`).
 
     Beyond scipy: `A_eq`/`b_eq` (linear equalities) and `nl_eq`
     (nonlinear equalities) pass straight through to the constrained
@@ -93,6 +97,10 @@ def least_squares(
     `benlsip_tpu.with_inequalities` first.
     """
     x0 = jnp.atleast_1d(jnp.asarray(x0))
+    if not jnp.issubdtype(x0.dtype, jnp.inexact):
+        # scipy casts integer x0 to float; without this an int x0 crashes
+        # broadcasting the infinite default bounds (and finfo downstream).
+        x0 = x0.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     n = x0.shape[0]
     dtype = x0.dtype
 
@@ -108,7 +116,13 @@ def least_squares(
     if gtol is not None:
         updates["crit_tol"] = gtol
     if max_nfev is not None:
+        # Imperfect mapping onto a two-level AL method: this caps TR
+        # candidates PER subproblem and the number of subproblems, so
+        # total evaluations are bounded by the product, not by max_nfev
+        # itself (scipy's single-loop TRF has no outer level).  The
+        # actual count comes back as res.nfev.
         updates["max_inner_iter"] = int(max_nfev)
+        updates["max_outer_iter"] = min(opts.max_outer_iter, int(max_nfev))
     if updates:
         opts = dataclasses.replace(opts, **updates)
 
@@ -141,6 +155,8 @@ def least_squares(
         grad=grad,
         optimality=float(info.pix),
         active_mask=active,
+        nfev=int(info.inner_iters) + 1,
+        njev=None,
         nit=int(info.inner_iters),
         status=status,
         success=bool(info.converged),

@@ -110,18 +110,13 @@ def solve(
             options.eta1, options.eta2, options.gamma1, options.gamma2,
         )
 
-    if y0 is None:
-        def run(poly_, x0_):
-            return solve_fixed_point(fns, poly_, x0_, options)
-
-        run_c = jax.jit(run) if jit else run
-        return run_c(poly, x0)
-
-    def run_warm(poly_, x0_, y0_):
+    # y0=None is a valid (empty) jit pytree leaf, so one closure serves
+    # both the cold and warm-start paths.
+    def run(poly_, x0_, y0_):
         return solve_fixed_point(fns, poly_, x0_, options, y0_)
 
-    run_c = jax.jit(run_warm) if jit else run_warm
-    return run_c(poly, x0, jnp.asarray(y0))
+    run_c = jax.jit(run) if jit else run
+    return run_c(poly, x0, None if y0 is None else jnp.asarray(y0))
 
 
 def tralcnllss(

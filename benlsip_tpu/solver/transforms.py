@@ -70,9 +70,23 @@ def with_inequalities(
     """
     if nl_ineq is None and G is None:
         raise ValueError("with_inequalities: give nl_ineq and/or (G, h)")
+    if G is None and h is not None:
+        raise ValueError(
+            "with_inequalities: h given without G — the linear rows Gx ≥ h "
+            "need both; a mis-keyed call would otherwise silently drop them"
+        )
+    if nl_ineq is None and jac_ineq is not None:
+        raise ValueError("with_inequalities: jac_ineq given without nl_ineq")
     n = x0.shape[-1]
     dtype = x0.dtype
-    q = 0 if nl_ineq is None else jax.eval_shape(nl_ineq, x0).shape[0]
+    if nl_ineq is not None:
+        # Accept a scalar-returning single constraint (the natural way to
+        # write one inequality) by promoting to a length-1 vector.
+        user_g = nl_ineq
+        nl_ineq = lambda x: jnp.atleast_1d(user_g(x))
+        q = jax.eval_shape(nl_ineq, x0).shape[0]
+    else:
+        q = 0
     if G is not None:
         G = jnp.asarray(G, dtype)
         if h is None:
@@ -100,7 +114,13 @@ def with_inequalities(
     user_c = problem.nlconstraints or (lambda x: jnp.zeros((0,), dtype))
     user_jc = problem.jac_nlcons or jax.jacfwd(user_c)
     if nl_ineq is not None:
-        user_jg = jac_ineq or jax.jacfwd(nl_ineq)
+        # atleast_2d mirrors the scalar-constraint promotion above for a
+        # hand-coded (n,)-shaped single-row Jacobian.
+        user_jg = (
+            (lambda x: jnp.atleast_2d(jac_ineq(x)))
+            if jac_ineq is not None
+            else jax.jacfwd(nl_ineq)
+        )
 
     def nlconstraints_z(z):
         x, s, _ = split(z)

@@ -73,3 +73,19 @@ def test_equality_extension_beyond_scipy():
     assert res.success
     expect = np.asarray(p) + (1 - float(p.sum())) / 2.0
     np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-8)
+
+
+def test_integer_x0_is_cast_like_scipy():
+    """scipy accepts integer x0; so must the wrapper (review finding)."""
+    res = least_squares(_rosenbrock, [0, 0])
+    assert res.success
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-7)
+    assert res.nfev >= res.nit  # scipy-present counters exist
+    assert res.njev is None
+
+
+def test_max_nfev_caps_both_loops():
+    """max_nfev caps per-subproblem TR iterations AND subproblem count;
+    the realized evaluation count is reported in nfev."""
+    res = least_squares(_rosenbrock, jnp.asarray([-1.2, 1.0]), max_nfev=3)
+    assert res.nfev <= 3 * 3 + 1  # product bound from the documented mapping

@@ -173,3 +173,30 @@ def test_hs15_nonlinear_inequalities():
     np.testing.assert_allclose(x, [0.5, 2.0], atol=1e-6)
     f = 100 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
     np.testing.assert_allclose(f, 306.5, atol=1e-7)
+
+
+def test_transform_argument_guards():
+    """Mis-keyed calls raise instead of silently dropping constraints
+    (review findings): h without G, jac_ineq without nl_ineq."""
+    prob = Problem(residuals=lambda x: x)
+    with pytest.raises(ValueError, match="h given without G"):
+        with_inequalities(prob, jnp.zeros(2), nl_ineq=lambda x: x, h=jnp.asarray([1.0]))
+    with pytest.raises(ValueError, match="jac_ineq given without nl_ineq"):
+        with_inequalities(prob, jnp.zeros(2), G=jnp.eye(2), h=jnp.zeros(2),
+                          jac_ineq=lambda x: jnp.eye(2))
+
+
+def test_scalar_single_constraint_promoted():
+    """A scalar-returning nl_ineq (one constraint, no array wrapper) works:
+    promoted to a length-1 vector, with a hand-coded (n,) Jacobian row."""
+    p = jnp.asarray([1.8, 0.6])
+    prob = Problem(residuals=lambda x: x - p)
+    lift = with_inequalities(
+        prob, jnp.asarray([0.5, 0.2]),
+        nl_ineq=lambda x: 1.0 - x @ x,          # scalar
+        jac_ineq=lambda x: -2.0 * x,            # (n,) row
+    )
+    z, y, info = solve(lift.problem, lift.z0, OPTS)
+    assert bool(info.converged)
+    expect = np.asarray(p) / np.linalg.norm(np.asarray(p))
+    np.testing.assert_allclose(np.asarray(lift.unlift(z)), expect, rtol=1e-6, atol=1e-7)
