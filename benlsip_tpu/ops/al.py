@@ -115,7 +115,11 @@ def with_gram(H: AlHessian, axis: str | None = None, Gj: Array | None = None) ->
     `Gj` (see `gram_j`) skips the GEMM and the psum for constant-J problems.
     """
     jtj = _psum(H.J.T @ H.J, axis) if Gj is None else Gj.astype(H.J.dtype)
-    G = jtj + H.mu * (H.C.T @ H.C)
+    # Static p==0 short-circuit: with no nonlinear constraints C is a
+    # (0, n) array and CᵀC a degenerate (n, n) zero dot — XLA spends >1 s
+    # constant-folding it per occurrence at highest precision (measured
+    # on the config-4 compile), for a term that is identically zero.
+    G = jtj if H.C.shape[0] == 0 else jtj + H.mu * (H.C.T @ H.C)
     return AlHessian(H.J, H.C, H.mu, G)
 
 
@@ -182,9 +186,10 @@ def with_gram_rows(
         raise ValueError(f"n={n} not divisible by mesh axis size {D} for the sharded Gram layout")
     rows_per = n // D
     rows = gram_j_rows(H.J, axis, schedule) if Gj_rows is None else Gj_rows.astype(H.J.dtype)
-    start = axis_index(axis) * rows_per
-    C_loc = jax.lax.dynamic_slice_in_dim(H.C, start, rows_per, axis=1)  # (p, n/D)
-    rows = rows + H.mu * (C_loc.T @ H.C)
+    if H.C.shape[0]:  # p==0: skip the degenerate zero term (see with_gram)
+        start = axis_index(axis) * rows_per
+        C_loc = jax.lax.dynamic_slice_in_dim(H.C, start, rows_per, axis=1)  # (p, n/D)
+        rows = rows + H.mu * (C_loc.T @ H.C)
     return AlHessian(H.J, H.C, H.mu, None, None, rows)
 
 
@@ -248,7 +253,9 @@ def with_r_factor_cholqr2(
     if Gj is None:
         J = H.J.astype(compute)
         Gj = _psum(J.T @ J, axis)
-    G = Gj.astype(compute) + mu * (C.T @ C)
+    G = Gj.astype(compute)
+    if C.shape[0]:  # p==0: skip the degenerate zero term (see with_gram)
+        G = G + mu * (C.T @ C)
     R1 = _rescued_chol_upper(G)
     R = _implicit_refine_upper(G, R1).astype(dtype)
     if axis is not None and layout == "sharded":
@@ -290,7 +297,8 @@ def hv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
         return H.R.T @ (H.R @ v)
     if H.G is not None:
         return H.G @ v
-    return _psum(H.J.T @ (H.J @ v), axis) + H.mu * (H.C.T @ (H.C @ v))
+    jv = _psum(H.J.T @ (H.J @ v), axis)
+    return jv if H.C.shape[0] == 0 else jv + H.mu * (H.C.T @ (H.C @ v))
 
 
 def vhv(H: AlHessian, v: Array, axis: str | None = None) -> Array:
