@@ -30,10 +30,11 @@ Array = jax.Array
 class OptimizeResult:
     """scipy-shaped result object (attribute-compatible subset).
 
-    `status`/`message` carry this framework's codes; `optimality` is the
-    exact projected-gradient KKT measure pi(x) (the reference tests'
-    oracle), stricter than scipy's first-order optimality for bound-only
-    problems.
+    `status` follows scipy's sign convention (positive = converged,
+    0 = iteration limit, negative = failure); the framework's native
+    codes live on `info.status`.  `optimality` is the exact
+    projected-gradient KKT measure pi(x) (the reference tests' oracle),
+    stricter than scipy's first-order optimality for bound-only problems.
     """
 
     x: Array
@@ -58,10 +59,16 @@ class OptimizeResult:
         )
 
 
+# OptimizeResult.status follows scipy's sign convention (status > 0 means
+# convergence, 0 means the iteration limit, negative means failure) so
+# ported code branching on `res.status > 0` keeps working.  The framework's
+# own codes (solver/status.py: 1 converged, 2 max-outer, 3 stalled) remain
+# available unchanged on `res.info.status`.
+_STATUS_TO_SCIPY = {1: 1, 2: 0, 3: -2}
 _MESSAGES = {
     1: "Convergence: KKT criticality and feasibility tolerances satisfied.",
-    2: "Maximum number of outer iterations reached.",
-    3: "Stalled: criticality at its numerical floor above gtol.",
+    0: "Maximum number of outer iterations reached.",
+    -2: "Stalled: criticality at its numerical floor above gtol.",
 }
 
 
@@ -104,7 +111,14 @@ def least_squares(
     n = x0.shape[0]
     dtype = x0.dtype
 
-    lb, ub = bounds[0], bounds[1]
+    if hasattr(bounds, "lb") and hasattr(bounds, "ub"):
+        # scipy.optimize.Bounds instance (scipy.least_squares accepts both
+        # forms; without this unpacking, bounds[0] raises an opaque
+        # TypeError).  `keep_feasible` has no meaning here: every iterate
+        # is feasible by construction (projected steps).
+        lb, ub = bounds.lb, bounds.ub
+    else:
+        lb, ub = bounds[0], bounds[1]
     xl = jnp.broadcast_to(jnp.asarray(lb, dtype), (n,))
     xu = jnp.broadcast_to(jnp.asarray(ub, dtype), (n,))
 
@@ -146,7 +160,7 @@ def least_squares(
         x - poly.xl <= tol * (1 + jnp.abs(x)), -1,
         jnp.where(poly.xu - x <= tol * (1 + jnp.abs(x)), 1, 0),
     )
-    status = int(info.status)
+    status = _STATUS_TO_SCIPY.get(int(info.status), -int(info.status))
     return OptimizeResult(
         x=x,
         cost=float(0.5 * jnp.vdot(rx, rx).real),

@@ -104,7 +104,7 @@ class CheckpointedSolve:
         start = 0
         latest = self._mgr.latest_step() if resume else None
         if latest is not None:
-            carry0 = init(theta, X0, poly) if self.batched else init(theta, X0, poly)
+            carry0 = init(theta, X0, poly)
             restored = self._mgr.restore(
                 latest, args=ocp.args.StandardRestore(jax.tree.map(lambda a: a, carry0))
             )
@@ -123,8 +123,20 @@ class CheckpointedSolve:
         self._mgr.save(k, args=ocp.args.StandardSave(carry))
         self._mgr.wait_until_finished()
 
+        # Critical-exit multiplier correction, mirroring solve_fixed_point
+        # (solver/outer.py): at a critical exit the reference skips the
+        # multiplier update (ref src/basic_tralcnlss.jl:276-283), so the
+        # converged estimate is y_bar = y + mu*c.  Without this a
+        # checkpointed solve returns y one first-order update stale vs the
+        # fused path.
+        def _final_y(c):
+            crit = c.critical
+            return jnp.where(crit, c.y + c.mu * c.cx, c.y)
+
         if self.batched:
             info = jax.vmap(lambda c: carry_info(c, opts))(carry)
+            y_final = jax.vmap(_final_y)(carry)
         else:
             info = carry_info(carry, opts)
-        return carry.x, carry.y, info
+            y_final = _final_y(carry)
+        return carry.x, y_final, info

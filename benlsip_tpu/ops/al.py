@@ -128,10 +128,13 @@ def gram_j_rows(J: Array, axis: str, schedule: str = "xla") -> Array:
 
     The constant-J cache for the row-sharded layout: computed once via
     reduce-scatter (or the lazy ring), handed to `with_gram_rows(Gj_rows=)`
-    on every refresh.
+    on every refresh.  bf16 J accumulates in f32, mirroring `gram_j` (the
+    consumer casts back to its compute dtype via `Gj_rows.astype`).
     """
     from ..dist.collectives import psum_scatter, ring_psum_scatter_lazy
 
+    if J.dtype == jnp.dtype(jnp.bfloat16):
+        J = J.astype(jnp.float32)
     n = J.shape[1]
     D = jax.lax.axis_size(axis)
     if n % D:
@@ -235,6 +238,18 @@ def with_r_factor_cholqr2(
     for WᵀW).  The μ CᵀC term is added locally (C replicated, p small),
     mirroring `with_gram`.
 
+    Breakdown rescue: the implicit refinement chol goes indefinite once
+    κ(S)²·eps ≳ 1 — κ(S) ≈ 1e4 in f32, an ordinary condition number.
+    With `axis=None` (replicated; the auto-selected f32 n≥64 route) a
+    `lax.cond` then recovers full κ·eps accuracy through the explicit
+    pass W = [J; √μ C] R₁⁻¹ — S is reconstructable here, and the 3dn²
+    rescue runs only on breakdown.  Under `axis` (shard_map) the explicit
+    pass would need a second psum inside a cond branch, so the sharded
+    layout keeps the R = R₁ fallback: shift-grade accuracy (RᵀR relative
+    error ~3e-4 at κ≥1e4 f32), which the operator contract tolerates
+    (hv consumes RᵀRv only) and the solver's f64 certification phase
+    checks behind.
+
     layout="sharded" (requires `axis`) keeps only this device's n/D rows
     of R: H·v then costs one n-vector psum (hv below) and the persistent
     footprint is n²/D — matching the sharded-Gram layout's memory story.
@@ -244,7 +259,7 @@ def with_r_factor_cholqr2(
     Same LAPACK-surface replacement as `with_r_factor`
     (ref `/root/reference/src/basic_tralcnlss.jl:206, 897-901`).
     """
-    from .qr import _implicit_refine_upper, _rescued_chol_upper
+    from .qr import _implicit_refine_r2, _implicit_refine_upper, _rescued_chol_upper
 
     dtype = H.J.dtype
     compute = jnp.float32 if dtype == jnp.dtype(jnp.bfloat16) else dtype
@@ -257,7 +272,23 @@ def with_r_factor_cholqr2(
     if C.shape[0]:  # p==0: skip the degenerate zero term (see with_gram)
         G = G + mu * (C.T @ C)
     R1 = _rescued_chol_upper(G)
-    R = _implicit_refine_upper(G, R1).astype(dtype)
+    if axis is None:
+        # Replicated: rescue a broken implicit refinement through the
+        # explicit pass (see docstring; S = [J; sqrt(mu) C] is local here).
+        R2, bad = _implicit_refine_r2(G, R1)
+
+        def _explicit(_):
+            Jc = H.J.astype(compute)
+            S = Jc if C.shape[0] == 0 else jnp.concatenate(
+                [Jc, jnp.sqrt(mu) * C], axis=0
+            )
+            W = jax.lax.linalg.triangular_solve(R1, S, left_side=False, lower=False)
+            return _rescued_chol_upper(W.T @ W)
+
+        R2 = jax.lax.cond(jnp.any(bad), _explicit, lambda _: R2, None)
+        R = (R2 @ R1).astype(dtype)
+    else:
+        R = _implicit_refine_upper(G, R1).astype(dtype)
     if axis is not None and layout == "sharded":
         from ..dist.collectives import axis_index
 

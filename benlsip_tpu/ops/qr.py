@@ -175,6 +175,22 @@ def cholqr2_r(S: Array) -> Array:
     return (R2 @ R1).astype(dtype)
 
 
+def _implicit_refine_r2(G: Array, R1: Array):
+    """Implicit second-pass factor: (R₂ with R₂ᵀR₂ ≈ R₁⁻ᵀ G R₁⁻¹, bad).
+
+    `bad` flags instances whose refinement Cholesky broke down (NaN);
+    their R₂ is already replaced by I (R = R₁, the shifted
+    single-CholeskyQR factor).  See `_implicit_refine_upper`.
+    """
+    T = lax.linalg.triangular_solve(R1, G, left_side=True, lower=False, transpose_a=True)
+    G2 = lax.linalg.triangular_solve(R1, T, left_side=False, lower=False)
+    G2 = 0.5 * (G2 + jnp.swapaxes(G2, -1, -2))
+    R2 = _chol_upper(G2)
+    bad = jnp.any(jnp.isnan(R2), axis=(-2, -1), keepdims=True)
+    eye = jnp.eye(G.shape[-1], dtype=G.dtype)
+    return jnp.where(bad, eye, R2), bad
+
+
 def _implicit_refine_upper(G: Array, R1: Array) -> Array:
     """Second CholeskyQR2 pass from the ALREADY-FORMED Gram: R with RᵀR = G.
 
@@ -187,22 +203,22 @@ def _implicit_refine_upper(G: Array, R1: Array) -> Array:
     local once G is reduced.
 
     Robustness differs from the explicit pass in one way: explicit G₂=WᵀW
-    is a Gram, PSD by construction at any κ; the implicit congruence can
-    go indefinite once κ(S)²·eps ≳ 1 (measured: NaN at κ=1e10 f64 where
-    explicit survives).  A failed refinement chol therefore falls back to
-    R₂ = I, i.e. R = R₁ — the shifted single-CholeskyQR factor, whose
-    RᵀR = G + σI (σ = 2n·eps·tr G) still satisfies the operator contract
-    (`ops/al.hv` consumes RᵀRv only; multiplier solves use their own QR
-    of Cᵀ, solver/multipliers.py).  Standalone callers who need the
-    any-κ κ-accurate factor use `cholqr2_r` (explicit) instead.
+    is a Gram, PSD by construction at any κ; the implicit congruence goes
+    indefinite once κ(S)²·eps ≳ 1 — in f32 that is κ(S) ≈ 1e4, an ORDINARY
+    condition number, not an extreme event (measured: refine chol NaNs at
+    κ=1e4 f32 / κ=1e10 f64; a shift-rescued chol of G₂ does not help —
+    measured WORSE than R₂=I at κ=1e4 and NaN from 1e5).  A failed
+    refinement chol therefore falls back to R₂ = I, i.e. R = R₁ — the
+    shifted single-CholeskyQR factor (RᵀR error ~3e-4 relative at κ≥1e4
+    f32), which still satisfies the operator contract (`ops/al.hv`
+    consumes RᵀRv only; multiplier solves use their own QR of Cᵀ,
+    solver/multipliers.py).  Callers that can re-touch S recover full
+    κ·eps accuracy instead via the explicit-pass rescue
+    (`cholqr2i_r`, `ops/al.with_r_factor_cholqr2`); this Gram-only
+    entry is for the row-sharded path, where the explicit pass would
+    reintroduce a second psum.
     """
-    T = lax.linalg.triangular_solve(R1, G, left_side=True, lower=False, transpose_a=True)
-    G2 = lax.linalg.triangular_solve(R1, T, left_side=False, lower=False)
-    G2 = 0.5 * (G2 + jnp.swapaxes(G2, -1, -2))
-    R2 = _chol_upper(G2)
-    bad = jnp.any(jnp.isnan(R2), axis=(-2, -1), keepdims=True)
-    eye = jnp.eye(G.shape[-1], dtype=G.dtype)
-    R2 = jnp.where(bad, eye, R2)
+    R2, _ = _implicit_refine_r2(G, R1)
     return R2 @ R1
 
 
@@ -210,13 +226,28 @@ def cholqr2i_r(S: Array) -> Array:
     """R factor of S via CholeskyQR2 with the implicit refinement pass.
 
     One GEMM pass over S (the Gram), then n³-class work only — see
-    `_implicit_refine_upper` for the algebra, cost and the fallback
-    semantics.  The operator build (`ops/al.with_r_factor_cholqr2`) uses
-    this route; same LAPACK-surface replacement as `cholqr2_r`
+    `_implicit_refine_upper` for the algebra and cost.  When the implicit
+    refinement Cholesky breaks down (κ(S)²·eps ≳ 1: κ ≈ 1e4 in f32), a
+    `lax.cond` rescues accuracy through the explicit pass W = S R₁⁻¹,
+    G₂ = WᵀW (PSD by construction at any κ) instead of settling for the
+    shift-grade R = R₁ — measured RᵀR relative error 3e-7 vs 3.2e-4 at
+    κ=1e4 f32.  The rescue re-touches S (3dn² FLOPs) only on breakdown;
+    under vmap the cond lowers to a select that pays the explicit branch
+    always, which is the batched-small regime where 3dn² is trivial.
+    The operator build (`ops/al.with_r_factor_cholqr2`) applies the same
+    rescue; same LAPACK-surface replacement as `cholqr2_r`
     (ref `/root/reference/src/basic_tralcnlss.jl:206, 897-901`).
     """
     dtype = S.dtype
     Sc = S.astype(jnp.float32) if dtype == jnp.dtype(jnp.bfloat16) else S
     G = jnp.swapaxes(Sc, -1, -2) @ Sc
     R1 = _rescued_chol_upper(G)
-    return _implicit_refine_upper(G, R1).astype(dtype)
+    R2, bad = _implicit_refine_r2(G, R1)
+
+    def _explicit(_):
+        W = lax.linalg.triangular_solve(R1, Sc, left_side=False, lower=False)
+        G2 = jnp.swapaxes(W, -1, -2) @ W
+        return _rescued_chol_upper(G2)
+
+    R2 = lax.cond(jnp.any(bad), _explicit, lambda _: R2, None)
+    return (R2 @ R1).astype(dtype)

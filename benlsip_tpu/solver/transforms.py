@@ -36,7 +36,10 @@ class LiftedProblem(NamedTuple):
 
     problem: the equality-form `Problem` over z = [x; s; t].
     z0:      feasible-start lift of x0 (slacks initialized at
-             max(g(x0), 0) / max(Gx0 − h, 0), then interior-clipped).
+             max(g(x0), 0) / max(Gx0 − h, 0) — exactly on their bound
+             whenever the inequality is active or violated at x0; the
+             active-set machinery handles on-bound starts natively, so
+             no interior push is applied).
     unlift:  z ↦ x (drops the slack block; works on batched z too).
     slacks:  z ↦ (s, t) — the inequality activities at a solution
              (g_i active ⟺ s_i = 0, same for t).

@@ -89,3 +89,28 @@ def test_max_nfev_caps_both_loops():
     the realized evaluation count is reported in nfev."""
     res = least_squares(_rosenbrock, jnp.asarray([-1.2, 1.0]), max_nfev=3)
     assert res.nfev <= 3 * 3 + 1  # product bound from the documented mapping
+
+
+def test_bounds_instance_like_scipy():
+    """scipy.optimize.Bounds instances are accepted alongside the 2-tuple
+    form (review finding: bounds[0] raised an opaque TypeError)."""
+
+    class Bounds:  # stand-in with scipy's attribute surface
+        def __init__(self, lb, ub):
+            self.lb, self.ub = lb, ub
+
+    res = least_squares(_rosenbrock, jnp.asarray([0.5, 0.5]), bounds=Bounds(0.0, 0.8))
+    assert res.success
+    assert float(res.x[0]) <= 0.8 + 1e-9 and float(res.x[1]) <= 0.8 + 1e-9
+
+
+def test_status_follows_scipy_sign_convention():
+    """status > 0 iff success (scipy convention); 0 = iteration limit.
+    Framework-native codes stay on res.info.status (review finding)."""
+    ok = least_squares(_rosenbrock, jnp.asarray([-1.2, 1.0]))
+    assert ok.success and ok.status > 0 and int(ok.info.status) == 1
+
+    capped = least_squares(_rosenbrock, jnp.asarray([-1.2, 1.0]), max_nfev=1)
+    if not capped.success:
+        assert capped.status <= 0
+        assert int(capped.info.status) in (2, 3)

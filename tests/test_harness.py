@@ -75,3 +75,7 @@ def test_checkpoint_resume(tmp_path):
     X2, Y2, info2 = cs2.run(theta, X0)  # resumes from step 3, runs to done
     assert bool(jnp.all(info2.converged))
     np.testing.assert_allclose(np.asarray(X2), np.asarray(X_ref), rtol=1e-6, atol=1e-8)
+    # Multiplier parity with the fused path: the checkpointed runner must
+    # apply the same critical-exit correction y_bar = y + mu*c as
+    # solve_fixed_point, else Y comes back one first-order update stale.
+    np.testing.assert_allclose(np.asarray(Y2), np.asarray(Y_ref), rtol=1e-6, atol=1e-8)
