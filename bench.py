@@ -69,7 +69,7 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host"):
         float(jnp.sum(X))
         walls.append(time.perf_counter() - t0)
     conv = int(jnp.sum(info.converged))
-    return min(walls), conv, walls
+    return min(walls), conv, walls, X
 
 
 def _time_numpy_baseline(bp, theta, X0, k):
@@ -140,7 +140,7 @@ def _config3_summary(dev):
     B, n, d = 64, 192, 1024
     opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
     bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
-    dt, conv, _ = _time_pipeline(bp, theta, X0, opts, dev, chunk=B)
+    dt, conv, _, X3 = _time_pipeline(bp, theta, X0, opts, dev, chunk=B)
     rate = conv / dt
 
     k = 8
@@ -155,6 +155,9 @@ def _config3_summary(dev):
         np_walls.append(time.perf_counter() - t0)
     np_dt = min(np_walls)
     np_rate = max(conv_np, 1) / np_dt
+    from benlsip_tpu.baselines.kkt_oracle import kkt_cross_check_batch
+
+    orc = kkt_cross_check_batch(bp, theta, X3, sample=8, seed=3)
     return {
         "config3_rate": round(rate, 2),
         "config3_wall_s": round(dt, 3),
@@ -162,6 +165,7 @@ def _config3_summary(dev):
         "config3_baseline_rate": round(np_rate, 3),
         "config3_baseline_converged_frac": round(conv_np / k, 4),
         "config3_vs_baseline": round(rate / np_rate, 1),
+        "config3_oracle_agree_frac": orc["oracle_agree_frac"],
     }
 
 
@@ -175,7 +179,7 @@ def _config5_summary(dev, B=16384):
 
     opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
     bp, theta, X0 = exp_fit_family(B, d=32, seed=7, dtype=jnp.float64)
-    dt, conv, _ = _time_pipeline(bp, theta, X0, opts, dev)
+    dt, conv, _, X5 = _time_pipeline(bp, theta, X0, opts, dev)
     rate = conv / dt
 
     k = 64
@@ -190,12 +194,16 @@ def _config5_summary(dev, B=16384):
         np_walls.append(time.perf_counter() - t0)
     np_dt = min(np_walls)
     np_rate = max(conv_np, 1) / np_dt
+    from benlsip_tpu.baselines.kkt_oracle import kkt_cross_check_batch
+
+    orc = kkt_cross_check_batch(bp, theta, X5, sample=8, seed=5)
     return {
         "config5_rate": round(rate, 1),
         "config5_batch": B,
         "config5_converged_frac": round(conv / B, 4),
         "config5_baseline_rate": round(np_rate, 1),
         "config5_vs_baseline": round(rate / np_rate, 1),
+        "config5_oracle_agree_frac": orc["oracle_agree_frac"],
     }
 
 
@@ -210,12 +218,12 @@ def main():
     bp, theta, X0 = exp_fit_family(B, d=32, seed=42, dtype=jnp.float64)
     dev = jax.devices()[0]
 
-    dt_b, conv_b, walls = _time_pipeline(bp, theta, X0, opts, dev)
+    dt_b, conv_b, walls, X_d = _time_pipeline(bp, theta, X0, opts, dev)
     rate = conv_b / dt_b
 
     # Device-resident certification variant (VERDICT round-1 item 5): the
     # f64 polish runs ON the chip, removing the D2H + host-polish leg.
-    dt_d, conv_d, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device")
+    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device")
     rate_dev = conv_d / dt_d
 
     # Primary baseline: tight single-core numpy (the reference's execution
@@ -227,13 +235,24 @@ def main():
     # Secondary: this framework's own pipeline with the bulk phase on CPU —
     # the strongest single-host alternative actually available.
     cpu = jax.devices("cpu")[0]
-    dt_c, conv_c, _ = _time_pipeline(bp, theta, X0, opts, cpu)
+    dt_c, conv_c, _, _ = _time_pipeline(bp, theta, X0, opts, cpu)
     cpu_rate = conv_c / dt_c
 
     # Secondary: the round-1 strawman (JAX solver one instance at a time).
     k = 8
     dt_s, conv_s = _time_sequential_cpu(bp, theta, X0, opts, k)
     seq_rate = max(conv_s, 1) / dt_s
+
+    # Independent first-principles KKT oracle on a sample of the certified
+    # solutions (VERDICT r3 #6): numpy-lstsq KKT conditions, sharing no
+    # code with the exact-projection certificate.
+    oracle = {}
+    try:
+        from benlsip_tpu.baselines.kkt_oracle import kkt_cross_check_batch
+
+        oracle = kkt_cross_check_batch(bp, theta, X_d, sample=8)
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        oracle = {"oracle_error": repr(e)[:200]}
 
     # Configs 3 and 5 with their own measured baselines, folded into the
     # headline line so the driver-recorded BENCH json carries all three
@@ -270,6 +289,7 @@ def main():
                 "sequential_jax_rate": round(seq_rate, 3),
                 "vs_sequential_jax": round(rate / seq_rate, 2),
                 "device": str(dev),
+                **oracle,
                 **extra,
             }
         )

@@ -46,6 +46,7 @@ class _NewtonCarry(NamedTuple):
     best: Array
     stall: Array
     it: Array
+    restarted: Array
 
 
 def projection_polyhedron(
@@ -56,6 +57,7 @@ def projection_polyhedron(
     reg: float | None = None,
     lam0: Array | None = None,
     return_lam: bool = False,
+    return_iters: bool = False,
 ):
     """Project x onto {v : Av = b, l ≤ v ≤ u}. Jittable; vmap for batches.
 
@@ -65,7 +67,14 @@ def projection_polyhedron(
     `reg` is the Tikhonov jitter on A D Aᵀ guarding degenerate active sets.
     `lam0` warm-starts the dual (callers projecting a slowly-moving point —
     the per-TR-iteration criticality measure — converge in 1-2 Newton steps
-    warm vs ~5-15 cold); `return_lam=True` also returns the final dual.
+    warm vs ~5-15 cold).  A STALE warm start can park the damped Newton at
+    the dual-residual floor of the wrong face (the round-3 root cause of
+    the ~20× criticality slowdown that forced cold starts): the stall
+    detector now spends its first trigger on an in-loop COLD RESTART
+    (lam ← 0) instead of exiting, so a bad warm start costs ~4 stalled
+    steps + the cold solve, and a good one keeps the 1-2-step fast path.
+    `return_lam=True` also returns the final dual; `return_iters=True`
+    additionally returns the Newton iteration count (diagnostics/tests).
     """
     dtype = x.dtype
     eps = jnp.finfo(dtype).eps
@@ -81,7 +90,12 @@ def projection_polyhedron(
     m = A.shape[0]
     if m == 0:
         v = jnp.clip(x, l, u)
-        return (v, jnp.zeros((0,), dtype)) if return_lam else v
+        out = (v,)
+        if return_lam:
+            out += (jnp.zeros((0,), dtype),)
+        if return_iters:
+            out += (jnp.zeros((), jnp.int32),)
+        return out if len(out) > 1 else v
 
     eye = jnp.eye(m, dtype=dtype)
     tol_val = jnp.asarray(tol, dtype) * (1 + jnp.linalg.norm(b))
@@ -102,9 +116,24 @@ def projection_polyhedron(
         # Stall exit: at the dtype's dual-residual floor (‖F‖ can sit just
         # above tol) further Newton steps are roundoff churn; without this
         # a lane spins to max_iter and, under vmap, drags the whole batch.
-        return (c.Fnorm > tol_val) & (c.it < max_iter) & (c.stall < 4)
+        # With a restart still in the budget (warm-started calls), the
+        # first stall is consumed by the cold restart in `body` instead.
+        return (c.Fnorm > tol_val) & (c.it < max_iter) & ((c.stall < 4) | ~c.restarted)
 
     def body(c: _NewtonCarry):
+        # Cold-restart rescue: a stale warm start can stall the damped
+        # Newton on the wrong face; spend the first stall trigger on
+        # lam <- 0 rather than an above-tolerance exit.
+        do_restart = (c.stall >= 4) & ~c.restarted
+        lam_r = jnp.where(do_restart, jnp.zeros_like(c.lam), c.lam)
+        fr = jnp.where(do_restart, jnp.linalg.norm(F_of(lam_r)), c.Fnorm)
+        c = _NewtonCarry(
+            lam_r, fr,
+            jnp.where(do_restart, fr, c.best),
+            jnp.where(do_restart, 0, c.stall),
+            c.it,
+            c.restarted | do_restart,
+        )
         lam = c.lam
         z = x - A.T @ lam
         inactive = (z > l) & (z < u)
@@ -155,9 +184,19 @@ def projection_polyhedron(
 
         t_lo, t_hi = lax.fori_loop(0, n_section, section, (t_lo, t_hi), unroll=True)
         t_star = 0.5 * (t_lo + t_hi)
-        # Monotone safeguard (roundoff): never accept a dual decrease.
-        lam_new = jnp.where(q_of(lam + t_star * dlam) >= q_of(lam), lam + t_star * dlam, lam)
-        fn_new = jnp.linalg.norm(F_of(lam_new))
+        # Monotone safeguard (roundoff): never accept a dual decrease —
+        # UNLESS the residual itself decreases.  Near the optimum the dual
+        # improvement Δq ≈ ‖F‖² is far below the representability floor of
+        # q ~ O(‖v-x‖²) (e.g. 1e-19 vs 1e-16 rounding noise at f64), so the
+        # pure q-comparison rejects the final contraction steps and a
+        # near-converged (warm) start churns at stall until the cold
+        # restart — the round-3 ~20× warm-start slowdown.  ‖F‖ decrease is
+        # the sound acceptance signal in exactly that regime.
+        lam_try = lam + t_star * dlam
+        fn_try = jnp.linalg.norm(F_of(lam_try))
+        accept = (q_of(lam_try) >= q_of(lam)) | (fn_try < c.Fnorm)
+        lam_new = jnp.where(accept, lam_try, lam)
+        fn_new = jnp.where(accept, fn_try, c.Fnorm)
         improved = fn_new < 0.7 * c.best
         return _NewtonCarry(
             lam_new,
@@ -165,15 +204,24 @@ def projection_polyhedron(
             jnp.minimum(fn_new, c.best),
             jnp.where(improved, 0, c.stall + 1),
             c.it + 1,
+            c.restarted,
         )
 
     lam_init = jnp.zeros((m,), dtype) if lam0 is None else jnp.asarray(lam0, dtype)
     fn0 = jnp.linalg.norm(F_of(lam_init))
-    c0 = _NewtonCarry(lam_init, fn0, fn0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    # Cold starts have no restart budget (restarting to zeros from zeros
+    # is a no-op); warm starts get one.
+    c0 = _NewtonCarry(
+        lam_init, fn0, fn0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.asarray(lam0 is None),
+    )
     out = lax.while_loop(cond, body, c0)
+    ret = (v_of(out.lam),)
     if return_lam:
-        return v_of(out.lam), out.lam
-    return v_of(out.lam)
+        ret += (out.lam,)
+    if return_iters:
+        ret += (out.it,)
+    return ret if len(ret) > 1 else ret[0]
 
 
 def criticality_measure_polyhedron(poly: Polyhedron, x: Array, g: Array) -> Array:

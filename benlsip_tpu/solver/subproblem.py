@@ -67,12 +67,16 @@ def criticality_measure(poly: Polyhedron, x: Array, g: Array, lam0: Array | None
     KKT oracle (ref `test/problems/sphere_regression.jl:58-62`).  The only
     measure that is sound in every active-set configuration; here it is
     jittable in-framework (ops/polyproject.py), so the live loop can afford
-    what the reference could not (an Ipopt call per iteration).  Cold-started
-    on purpose: a stale warm dual hovers at the f32 residual floor and spins
-    the Newton loop to its cap (measured ~20x slower than cold); returns
-    (pi, lam) so callers can inspect the projection multipliers."""
-    del lam0
-    p, lam = projection_polyhedron(poly, x - g, return_lam=True)
+    what the reference could not (an Ipopt call per iteration).  `lam0`
+    warm-starts the projection's dual Newton with the previous TR
+    iteration's multipliers (the point moves slowly, so warm converges in
+    1-2 steps vs ~5-15 cold).  Round 3 cold-started on purpose — a stale
+    warm dual parked the damped Newton at the f32 residual floor of the
+    wrong face and spun it to its cap (~20x slower than cold); the
+    projection's in-loop cold-restart rescue (ops/polyproject.py) removes
+    that failure mode, so warm is now never worse than ~4 stalled steps +
+    the cold solve.  Returns (pi, lam) so callers can thread the dual."""
+    p, lam = projection_polyhedron(poly, x - g, lam0=lam0, return_lam=True)
     return jnp.linalg.norm(p - x), lam
 
 

@@ -198,3 +198,47 @@ def test_nearly_dependent_rows_consistent():
     assert bool(jnp.all(jnp.isfinite(v)))
     np.testing.assert_allclose(np.asarray(poly.A) @ np.asarray(v), b, atol=1e-8)
     np.testing.assert_allclose(np.asarray(v), _dedup_oracle(z, A1, A1 @ xt, l, u), atol=1e-6)
+
+
+def _moving_projection_problem(seed=3, n=64, m=6, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(n), dtype)
+    x_feas = jnp.asarray(rng.standard_normal(n), dtype)
+    b = A @ x_feas
+    poly = Polyhedron(A=A, b=b, xl=jnp.full((n,), -2.0, dtype), xu=jnp.full((n,), 2.0, dtype))
+    return poly, rng
+
+
+def test_warm_start_beats_cold_on_moving_sequence():
+    """A slowly-moving projection point (the per-TR-iteration criticality
+    pattern) warm-started with the previous dual must take no more Newton
+    iterations than cold starts over the sequence (VERDICT r3 #7)."""
+    poly, rng = _moving_projection_problem()
+    x = jnp.asarray(rng.standard_normal(64))
+    step = 0.01 * jnp.asarray(rng.standard_normal(64))
+    lam = None
+    warm_iters = cold_iters = 0
+    for k in range(8):
+        xk = x + k * step
+        v_w, lam, it_w = projection_polyhedron(poly, xk, lam0=lam, return_lam=True, return_iters=True)
+        v_c, it_c = projection_polyhedron(poly, xk, return_iters=True)
+        warm_iters += int(it_w)
+        cold_iters += int(it_c)
+        np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_c), rtol=1e-9, atol=1e-10)
+    assert warm_iters <= cold_iters, (warm_iters, cold_iters)
+
+
+def test_stale_warm_start_rescued_by_cold_restart():
+    """A deliberately bad warm dual must not park the damped Newton at an
+    above-tolerance stall exit: the in-loop cold restart recovers the same
+    projection as the cold start (round-3 root cause of the forced cold
+    starts in criticality_measure)."""
+    poly, rng = _moving_projection_problem(seed=7)
+    x = jnp.asarray(rng.standard_normal(64))
+    bad = jnp.asarray(1e6 * rng.standard_normal(poly.A.shape[0]))
+    v_bad, it_bad = projection_polyhedron(poly, x, lam0=bad, return_iters=True)
+    v_cold = projection_polyhedron(poly, x)
+    np.testing.assert_allclose(np.asarray(v_bad), np.asarray(v_cold), rtol=1e-9, atol=1e-9)
+    # Residual actually at tolerance, not a stall exit.
+    F = np.asarray(poly.A) @ np.asarray(v_bad) - np.asarray(poly.b)
+    assert np.linalg.norm(F) <= 1e-10 * (1 + np.linalg.norm(np.asarray(poly.b)))
