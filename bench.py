@@ -140,8 +140,13 @@ def _config3_summary(dev):
     B, n, d = 64, 192, 1024
     opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
     bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
-    dt, conv, _, X3 = _time_pipeline(bp, theta, X0, opts, dev, chunk=B)
+    # Device-resident certification is the config-3 fast path (round 4):
+    # the fused f32-factor/f64-chord program measured 319.7/s vs the host
+    # path's 173.5/s — the host leg's ~170 ms factor D2H through the relay
+    # is the avoided cost.
+    dt, conv, _, X3 = _time_pipeline(bp, theta, X0, opts, dev, chunk=B, certify="device")
     rate = conv / dt
+    dt_h, conv_h, _, _ = _time_pipeline(bp, theta, X0, opts, dev, chunk=B, certify="host")
 
     k = 8
     J_np = np.asarray(bp.jac_res(X0[0], jax.tree.map(lambda a: a[0], theta)))
@@ -165,6 +170,8 @@ def _config3_summary(dev):
         "config3_baseline_rate": round(np_rate, 3),
         "config3_baseline_converged_frac": round(conv_np / k, 4),
         "config3_vs_baseline": round(rate / np_rate, 1),
+        "config3_certify": "device",
+        "config3_host_rate": round(conv_h / dt_h, 2),
         "config3_oracle_agree_frac": orc["oracle_agree_frac"],
     }
 
@@ -267,15 +274,20 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["config5_error"] = repr(e)[:200]
 
+    # Headline = the faster of the two certification pipelines (same
+    # workload, same f64 KKT certification either way); both are reported.
+    best_rate, best_conv = (rate, conv_b) if rate >= rate_dev else (rate_dev, conv_d)
     print(
         json.dumps(
             {
-                "metric": "constrained-NLS problems solved/sec to f64 KKT tol 1.5e-8 (config-2 suite; f32 bulk + f64 refine)",
-                "value": round(rate, 2),
+                "metric": "constrained-NLS problems solved/sec to f64 KKT tol 1.5e-8 (config-2 suite; f32 bulk + f64 certify)",
+                "value": round(best_rate, 2),
                 "unit": "problems/sec",
-                "vs_baseline": round(rate / np_rate, 2),
+                "vs_baseline": round(best_rate / np_rate, 2),
+                "pipeline": "host" if rate >= rate_dev else "device",
+                "host_certify_rate": round(rate, 2),
                 "batch": B,
-                "converged_frac": round(conv_b / B, 4),
+                "converged_frac": round(best_conv / B, 4),
                 "pipeline_wall_s": round(dt_b, 3),
                 "pipeline_walls_all_reps_s": [round(w, 3) for w in walls],
                 "device_certify_rate": round(rate_dev, 2),

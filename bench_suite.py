@@ -161,6 +161,22 @@ def config3(results, B=64, n=192, d=1024):
             "vs_baseline": round((conv / dt) / np_rate, 2),
         }
     )
+    # Device-resident certification (round 4): fused f32-factor/f64-chord
+    # program, no factor D2H — the config-3 fast path.
+    dt, (X, Y, info) = _bench(
+        lambda: solve_mixed_precision(bp, theta, X0, opts, chunk=B, certify="device")
+    )
+    conv = int(jnp.sum(info.converged))
+    results.append(
+        {
+            "config": 3,
+            "case": f"dense_n{n}_d{d}_B{B}_pipeline_device_certify",
+            "wall_s": round(dt, 4),
+            "problems_per_sec_kkt1e-8": round(conv / dt, 2),
+            "converged_frac": round(conv / B, 4),
+            "vs_baseline": round((conv / dt) / np_rate, 2),
+        }
+    )
     # Constant-Jacobian cache (the family is linear LSQ): bulk-phase
     # refreshes skip the per-accept JᵀJ GEMM (SolverOptions docstring).
     import dataclasses

@@ -240,6 +240,50 @@ def _chord_phase_qr(fns, poly: Polyhedron, x: Array, nu: Array, RJ: Array,
     return x, y, converged, pix, feas, 0.5 * jnp.vdot(r, r)
 
 
+def _chord_phase_qr_mixed(fns, poly: Polyhedron, x: Array, nu: Array, RJ: Array,
+                          Qw: Array, Tw: Array, free: Array, chord_steps: int,
+                          crit_tol: float, feas_tol: float):
+    """Mixed-precision chord phase: f64 KKT residuals, f32 factored solves.
+
+    The on-device twin of the split pipeline's cost model
+    (`sqp_polish_split`): the factors stay in the f32 they were computed
+    in — promoting them to f64 buys no accuracy (the factor only sets the
+    contraction rate, ~κ·eps(f32) per step; `_chord_phase` docstring) but
+    on TPU it moves the two triangular solves per step into the f64
+    EMULATION, measured 76 ms per chord step at config-3 shape vs ~8 ms
+    for this form.  Only the exact KKT residual (delta-form rhs) and the
+    state updates run in f64; the correction (dx, dnu) is solved in f32
+    and promoted.  Certification is identical to `_chord_phase_qr`.
+    """
+    A, b = poly.A, poly.b
+    p = nu.shape[0] - A.shape[0]
+    f32 = RJ.dtype
+
+    for _ in range(chord_steps):  # static unroll
+        r = fns.residuals(x)
+        J = fns.jac_res(x)
+        c = fns.nlconstraints(x)
+        C = fns.jac_nlcons(x)
+        e = jnp.concatenate([c, A @ x - b], axis=0)
+        gL = J.T @ r + jnp.concatenate([C, A], axis=0).T @ nu
+        dx, dnu = _kkt_solve_qr(
+            RJ, Qw, Tw, (-(free * gL)).astype(f32), (-e).astype(f32)
+        )
+        x = jnp.clip(x + dx.astype(x.dtype) * free, poly.xl, poly.xu)
+        nu = nu + dnu.astype(nu.dtype)
+    y = nu[:p]
+
+    r = fns.residuals(x)
+    c = fns.nlconstraints(x)
+    gL = fns.jac_res(x).T @ r + fns.jac_nlcons(x).T @ y
+    from ..ops.polyproject import projection_polyhedron
+
+    pix = jnp.linalg.norm(projection_polyhedron(poly, x - gL) - x)
+    feas = jnp.sqrt(jnp.sum(c * c) + jnp.sum((A @ x - b) ** 2))
+    converged = (pix <= crit_tol) & (feas <= feas_tol)
+    return x, y, converged, pix, feas, 0.5 * jnp.vdot(r, r)
+
+
 def _chord_phase(fns, poly: Polyhedron, x: Array, nu: Array, lu: Array,
                  piv: Array, free: Array, chord_steps: int,
                  crit_tol: float, feas_tol: float):
@@ -430,9 +474,16 @@ def _factor_runner_qr(fns_key, poly_axes_key, refactor_steps, active_tol, reg):
         x, nu, RJ, Qw, Tw, free = jax.vmap(
             one, in_axes=(0, 0, Polyhedron(*poly_axes_key))
         )(theta, X0, poly)
-        # One flat f32 buffer, same rationale as _factor_runner.
+        # One flat f32 buffer, same rationale as _factor_runner.  RJ is
+        # upper-triangular by construction: ship only its n(n+1)/2
+        # triangle — RJ is ~96% of the payload at config-3 shape (n=192)
+        # and the relay D2H measured ~58 MB/s, so halving it cuts ~85 ms
+        # off the certification wall.
+        n = RJ.shape[-1]
+        iu = jnp.triu_indices(n)
+        RJ_tri = RJ[:, iu[0], iu[1]]
         flat = jnp.concatenate(
-            [a.reshape(a.shape[0], -1) for a in (x, nu, RJ, Qw, Tw, free)], axis=1
+            [a.reshape(a.shape[0], -1) for a in (x, nu, RJ_tri, Qw, Tw, free)], axis=1
         )
         return flat
 
@@ -539,9 +590,10 @@ def sqp_polish_split(
         fns0.nlconstraints, jax.ShapeDtypeStruct((n,), jnp.float64)
     ).shape[0]
     q = p + m
+    tri = n * (n + 1) // 2
     if kkt == "qr":
-        # x, nu, RJ, Qw, Tw, free
-        shapes = ((B, n), (B, q), (B, n, n), (B, n, q), (B, q, q), (B, n))
+        # x, nu, RJ (triangular-packed — see _factor_runner_qr), Qw, Tw, free
+        shapes = ((B, n), (B, q), (B, tri), (B, n, q), (B, q, q), (B, n))
     else:
         kk = n + q
         shapes = ((B, n), (B, q), (B, kk, kk), (B, n))
@@ -560,7 +612,11 @@ def sqp_polish_split(
         poly64 = bp64.polyhedron(n, jnp.float64)
         fns_key64 = (bp64.residuals, bp64.nlconstraints, bp64.jac_res, bp64.jac_nlcons)
         if kkt == "qr":
-            x, nu, RJ, Qw, Tw, free = parts
+            x, nu, RJ_tri, Qw, Tw, free = parts
+            iu = np.triu_indices(n)
+            RJ_h = np.zeros((B, n, n), np.float64)
+            RJ_h[:, iu[0], iu[1]] = np.asarray(RJ_tri)
+            RJ = jnp.asarray(RJ_h)
             cr = _chord_runner_qr(fns_key64, poly_batch_axes(poly64), num_steps,
                                   float(opts.crit_tol), float(opts.feas_tol))
             return cr(theta64, x, nu, RJ, Qw, Tw, free, poly64)
@@ -617,10 +673,12 @@ def _fused_polish_runner(fns_key32, fns_key64, poly_axes_key, num_steps, active_
             x_i = jnp.where(fixedm & jnp.isfinite(poly64_i.xl) & lo_near, poly64_i.xl, x_i)
             x_i = jnp.where(fixedm & jnp.isfinite(poly64_i.xu) & ~lo_near, poly64_i.xu, x_i)
             with jax.named_scope("polish_chord_certify_f64"):
-                return _chord_phase_qr(
+                # Factors stay f32 (mixed-precision chord — see
+                # _chord_phase_qr_mixed on why promoting them costs 10x
+                # under the TPU f64 emulation and buys nothing).
+                return _chord_phase_qr_mixed(
                     fns64, poly64_i, x_i, nu.astype(jnp.float64),
-                    RJ.astype(jnp.float64), Qw.astype(jnp.float64),
-                    Tw.astype(jnp.float64), free.astype(jnp.float64),
+                    RJ, Qw, Tw, free.astype(jnp.float64),
                     num_steps - rs, crit_tol, feas_tol)
 
     def run(theta32, X32, poly32, theta64, poly64):
