@@ -101,6 +101,7 @@ def solve_mixed_precision(
     certify: str = "host",
     pipeline_overlap: bool = False,
     bulk_dtype=jnp.float32,
+    bulk_matmul_precision: Optional[str] = None,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
@@ -193,6 +194,13 @@ def solve_mixed_precision(
     bulk_opts = options
     if polish and bulk_crit_tol is not None:
         bulk_opts = dataclasses.replace(options, crit_tol=bulk_crit_tol)
+    if bulk_matmul_precision is not None:
+        # Cheaper-bulk experiment knob (VERDICT r3 #8): run the f32 bulk
+        # phase at a lower MXU precision ("default" = bf16 passes).  The
+        # certification phase catches any instance the cheaper bulk fails
+        # to land in the polish's Newton basin — wrong answers cost
+        # fallback time, never accuracy.
+        bulk_opts = dataclasses.replace(bulk_opts, matmul_precision=bulk_matmul_precision)
     if pipeline_overlap and polish:
         return _overlapped_pipeline(
             bp_h, theta_h, bp32, theta32, X0_32, options, bulk_opts,

@@ -79,25 +79,43 @@ def ring_psum_scatter(x, axis: str):
     return buf
 
 
-def ring_psum_scatter_lazy(make_chunk, axis: str):
+def ring_psum_scatter_lazy(make_chunk, axis: str, operand=None):
     """Ring reduce-scatter whose local contributions are built LAZILY.
 
     Same schedule and result as `ring_psum_scatter`, but the caller's full
-    local array never exists: `make_chunk(c)` (c a traced chunk index in
-    [0, D)) materializes just this device's contribution to global chunk c
-    at the moment the ring needs it.  Peak live memory is two chunks (the
-    travelling buffer + the freshly built contribution) instead of the
-    whole D-chunk local partial — the build-transient fix for the
-    row-sharded Gram layout (ops/al.with_gram_rows), where the dense
-    partial JᵀJ is (n, n) but each contribution is only (n/D, n).
+    local array never exists: `make_chunk(c, operand)` (c a traced chunk
+    index in [0, D)) materializes just this device's contribution to
+    global chunk c at the moment the ring needs it.  Peak live memory is
+    two chunks (the travelling buffer + the freshly built contribution)
+    instead of the whole D-chunk local partial — the build-transient fix
+    for the row-sharded Gram layout (ops/al.with_gram_rows), where the
+    dense partial JᵀJ is (n, n) but each contribution is only (n/D, n).
+
+    Unlike `ring_psum_scatter` the hops here run under a `lax.fori_loop`,
+    and that is LOAD-BEARING for the memory claim: unrolled, the chunk
+    builds have no data dependency on the travelling buffer, so XLA's
+    scheduler hoists ALL of them ahead of the first hop — measured on the
+    n=20480 8-device compile, the unrolled 'lazy' build's temp arena was
+    the full n² (1.68 GB), identical to the eager schedule, and
+    `lax.optimization_barrier` did not survive to the scheduled HLO.  A
+    loop body exists once, so peak live memory is provably one buffer +
+    one chunk + `operand` (tests/test_blocked_shardmap.py asserts the
+    compiled buffer stats).  The cost is that hops can no longer overlap
+    each other — the right trade at the n where this schedule is
+    mandatory, since the eager build does not fit at all.
+
+    `operand` is the data `make_chunk` reads (e.g. J), threaded through
+    the loop explicitly.
     """
     D = lax.axis_size(axis)
     idx = lax.axis_index(axis)
-    buf = make_chunk((idx - 1) % D)
-    for t in range(D - 1):  # D is static: unrolled so XLA can overlap hops
+    buf0 = make_chunk((idx - 1) % D, operand)
+
+    def body(t, buf):
         buf = ppermute_ring(buf, axis, 1)
-        buf = buf + make_chunk((idx - 2 - t) % D)
-    return buf
+        return buf + make_chunk((idx - 2 - t) % D, operand)
+
+    return lax.fori_loop(0, D - 1, body, buf0)
 
 
 def axis_index(axis: str):

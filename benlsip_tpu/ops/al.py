@@ -141,11 +141,15 @@ def gram_j_rows(J: Array, axis: str, schedule: str = "xla") -> Array:
         raise ValueError(f"n={n} not divisible by mesh axis size {D} for the sharded Gram layout")
     rows_per = n // D
     if schedule == "ring":
-        def chunk(c):
-            Jc = jax.lax.dynamic_slice_in_dim(J, c * rows_per, rows_per, axis=1)
-            return Jc.T @ J
+        # J rides through the ring as the barrier operand so each chunk
+        # GEMM is scheduled after the hop that needs it — without this the
+        # build transient silently regrows to the full n² (see
+        # dist/collectives.ring_psum_scatter_lazy).
+        def chunk(c, J_t):
+            Jc = jax.lax.dynamic_slice_in_dim(J_t, c * rows_per, rows_per, axis=1)
+            return Jc.T @ J_t
 
-        return ring_psum_scatter_lazy(chunk, axis)
+        return ring_psum_scatter_lazy(chunk, axis, operand=J)
     return psum_scatter(J.T @ J, axis)
 
 

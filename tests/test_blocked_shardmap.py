@@ -200,3 +200,45 @@ def test_shardmap_respects_explicit_gram_off():
     x_g, y_g, i_g = solve_large_blocked_shardmap(bp, theta, x0, base, mesh)
     assert bool(i_mf.converged) and bool(i_g.converged)
     np.testing.assert_allclose(np.asarray(x_mf), np.asarray(x_g), rtol=1e-7, atol=1e-9)
+
+
+def test_lazy_ring_gram_build_transient_is_chunk_sized():
+    """The n>=20k memory story (VERDICT r3 #3): the lazy-ring row-sharded
+    Gram build must compile with a temp arena of ~n^2/D (one travelling
+    buffer + one chunk), NOT the full n^2 local partial.  Unrolled-ring
+    versions measured the full n^2 (1.68 GB at n=20480) because XLA
+    hoists all chunk GEMMs ahead of the first hop; the fori_loop form
+    bounds it structurally (dist/collectives.ring_psum_scatter_lazy)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from benlsip_tpu.ops.al import AlHessian, with_gram_rows
+
+    n, d, D = 8192, 1024, 8
+    mesh = Mesh(np.array(jax.devices()[:D]).reshape(D), ("block",))
+
+    def refresh(J_loc):
+        H = AlHessian(J_loc, jnp.zeros((0, n), jnp.float32), jnp.float32(1.0))
+        return with_gram_rows(H, "block", schedule="ring").G_rows
+
+    f = jax.jit(jax.shard_map(refresh, mesh=mesh, in_specs=P("block"),
+                              out_specs=P("block"), check_vma=False))
+    ma = f.lower(jax.ShapeDtypeStruct((d, n), jnp.float32)).compile().memory_analysis()
+    full = n * n * 4
+    # One output chunk (n^2/D) + one in-flight chunk + slack, far below n^2.
+    assert ma.temp_size_in_bytes <= 3 * full // D, (
+        ma.temp_size_in_bytes, full)
+
+    # And the schedule still reduces correctly (parity with psum_scatter).
+    rng = np.random.default_rng(0)
+    n2, d2 = 256, 64
+    Jv = jnp.asarray(rng.standard_normal((d2, n2)), jnp.float32)
+
+    def r_of(schedule):
+        def r(J_loc):
+            H = AlHessian(J_loc, jnp.zeros((0, n2), jnp.float32), jnp.float32(1.0))
+            return with_gram_rows(H, "block", schedule=schedule).G_rows
+        return jax.jit(jax.shard_map(r, mesh=mesh, in_specs=P("block"),
+                                     out_specs=P("block"), check_vma=False))
+
+    np.testing.assert_allclose(np.asarray(r_of("ring")(Jv)),
+                               np.asarray(r_of("xla")(Jv)), atol=5e-5)

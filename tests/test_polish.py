@@ -181,3 +181,47 @@ def test_split_polish_matches_host_polish():
     assert bool(jnp.all(okh))
     assert float(jnp.max(pixs)) < 1.5e-8
     assert np.max(np.abs(np.asarray(Xs - Xh))) < 1e-6
+
+
+def test_fused_polish_parity_with_plain():
+    """The one-dispatch fused certification (f32 QR factors + f64 mixed
+    chord, batch/polish.sqp_polish_fused — the device path) certifies the
+    same instances to the same X/Y as the all-f64 sqp_polish on CPU."""
+    from benlsip_tpu.batch.polish import sqp_polish_fused
+    from benlsip_tpu.batch.refine import _cast_tree
+    from benlsip_tpu.batch.vmap_solve import solve_batched_chunked
+    from benlsip_tpu.problems.generators import dense_quadratic_family
+
+    B, n, d = 16, 96, 256
+    bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=4, seed=5)
+    opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
+    theta32 = _cast_tree(theta, jnp.float32)
+    bp32 = dataclasses.replace(
+        bp, A=bp.A.astype(jnp.float32), b=bp.b.astype(jnp.float32),
+        xl=bp.xl.astype(jnp.float32), xu=bp.xu.astype(jnp.float32))
+    X32, _, _ = solve_batched_chunked(
+        bp32, theta32, X0.astype(jnp.float32),
+        dataclasses.replace(opts, crit_tol=1e-2), chunk=B)
+    Xf, Yf, okf, pixf, feasf, _ = sqp_polish_fused(
+        bp32, theta32, X32, bp, theta, opts, num_steps=5, rounds=2)
+    assert bool(jnp.all(okf)), (int(okf.sum()), float(pixf.max()))
+    Xp, Yp, okp, *_ = sqp_polish(bp, theta, X32.astype(jnp.float64), opts, num_steps=5)
+    both = okf & okp
+    np.testing.assert_allclose(
+        np.asarray(Xf)[np.asarray(both)], np.asarray(Xp)[np.asarray(both)],
+        rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(Yf)[np.asarray(both)], np.asarray(Yp)[np.asarray(both)],
+        rtol=1e-6, atol=1e-8)
+
+
+def test_bulk_matmul_precision_knob_end_to_end():
+    """bulk_matmul_precision="default" (cheaper MXU passes) still certifies
+    through the pipeline — wrong bulk answers cost fallback time, never
+    accuracy (on CPU the knob is a no-op numerically; this pins the
+    plumbing end-to-end)."""
+    bp, theta, X0 = exp_fit_family(32, d=32, seed=9, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X, Y, info = solve_mixed_precision(
+        bp, theta, X0, opts, chunk=32, bulk_matmul_precision="default")
+    assert int(jnp.sum(info.converged)) == 32
