@@ -966,6 +966,21 @@ def polish_then_refine(
         # Fallback: full f64 refine on the uncertified instances, warm-started
         # from the polished points (strictly better than X32).
         idx, k, idx_p = _gather_uncertified(ok_h, fallback_pad, B)
+        if use_fused:
+            # The fused path's accumulators are device-resident; the
+            # fallback merge below scatters CPU results into them, which
+            # jit rejects as a cross-device computation.  Results leave
+            # for the host after this function anyway — pull them now.
+            host = jax.devices("cpu")[0]
+            X, Y = jax.device_put(X, host), jax.device_put(Y, host)
+            info = SolveInfo(*[
+                jax.device_put(getattr(info, f), host) for f in SolveInfo._fields
+            ])
+            theta64 = jax.tree.map(lambda a: jax.device_put(a, host), theta64)
+            bp64 = dataclasses.replace(bp64, **{
+                f: jax.device_put(getattr(bp64, f), host)
+                for f in ("A", "b", "xl", "xu") if getattr(bp64, f) is not None
+            })
         bp_f, theta_f = _take_batched(bp64, theta64, idx_p)
         # The full-refine fallback stays on its own device (CPU by default):
         # the complete f64 solver program faults on the TPU runtime even
@@ -974,10 +989,12 @@ def polish_then_refine(
             bp_f, theta_f, X[idx_p], options, device=fallback_device, chunk=chunk
         )
 
-        sel = jnp.asarray(idx)
-        X = X.at[sel].set(Xf[:k])
-        Y = Y.at[sel].set(Yf[:k])
+        # Numpy indices: under the device ctx a jnp.asarray(idx) would be
+        # committed to the accelerator and re-mix devices with the
+        # CPU-resident fallback results.
+        X = X.at[idx].set(Xf[:k])
+        Y = Y.at[idx].set(Yf[:k])
         info = SolveInfo(*[
-            getattr(info, f).at[sel].set(getattr(inf_f, f)[:k]) for f in SolveInfo._fields
+            getattr(info, f).at[idx].set(getattr(inf_f, f)[:k]) for f in SolveInfo._fields
         ])
         return X, Y, info
