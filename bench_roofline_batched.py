@@ -167,8 +167,13 @@ def main():
     X032 = X0.astype(jnp.float32)
     opts = SolverOptions(max_outer_iter=40, max_inner_iter=120, crit_tol=1e-2)
 
+    # chunk=512: the production chunking.  A single vmap-width-1024 solver
+    # program compiles but FAULTS the relay-attached TPU worker at first
+    # execution on this stack (kernel fault; the standalone Pallas kernels
+    # at B=1024 are fine) — see BENCH_NOTES.md environment hazards.
     def bulk():
-        X, Y, info = solve_batched_chunked(bp32, theta32, X032, opts, chunk=B)
+        X, Y, info = solve_batched_chunked(bp32, theta32, X032, opts,
+                                           chunk=min(B, 512))
         return X, info
 
     (X, info) = bulk()
