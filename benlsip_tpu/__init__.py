@@ -23,6 +23,7 @@ from .ops.polyproject import projection_polyhedron
 from .ops.project import project_tangent
 from .solver.api import NLSFunctions, Problem, solve, tralcnllss
 from .solver.options import SolverOptions
+from .solver.qp import QPInfo, solve_qp
 from .solver.transforms import LiftedProblem, with_inequalities
 from .compat import OptimizeResult, least_squares
 from .solver.outer import SolveInfo
@@ -50,6 +51,8 @@ __all__ = [
     "with_inequalities",
     "second_derivatives",
     "solve",
+    "solve_qp",
+    "QPInfo",
     "tralcnllss",
     "vhv",
 ]
