@@ -61,7 +61,11 @@ def kkt_check_point(
     J = np.asarray(J, np.float64)
     n = x.shape[0]
     g = J.T @ r
+    # Stationarity scales with the gradient; feasibility scales with the
+    # CONSTRAINT data — gradient-scaled feasibility would certify gross
+    # constraint violations on steep objectives (round-4 review finding).
     scale = 1.0 + float(np.linalg.norm(g))
+    feas_scale = 1.0
 
     blocks = []
     feas2 = 0.0
@@ -71,6 +75,7 @@ def kkt_check_point(
     if A is not None and A.size:
         blocks.append(np.asarray(A, np.float64))
         feas2 += float(np.sum((np.asarray(A, np.float64) @ x - np.asarray(b, np.float64)) ** 2))
+        feas_scale += float(np.linalg.norm(np.asarray(b, np.float64)))
     E = np.concatenate(blocks, axis=0) if blocks else np.zeros((0, n))
     feas = feas2 ** 0.5
 
@@ -101,10 +106,11 @@ def kkt_check_point(
     if (on_hi & ~both).any():
         sign_viol = max(sign_viol, float((gL[on_hi & ~both]).max(initial=0.0)))
 
+    bound_scale = 1.0 + float(np.max(np.abs(x), initial=0.0))
     ok = (
         stat <= stat_tol * scale
-        and feas <= feas_tol * scale
-        and bound_viol <= feas_tol * scale
+        and feas <= feas_tol * feas_scale
+        and bound_viol <= feas_tol * bound_scale
         and sign_viol <= stat_tol * scale
     )
     return {
@@ -151,9 +157,16 @@ def kkt_cross_check_batch(
         agree = 0
         worst = None
         for i in idx:
-            th_i = jax.tree.map(lambda a: np.asarray(a, np.float64)[int(i)]
-                                if np.asarray(a).ndim and np.asarray(a).shape[0] == B
-                                else np.asarray(a, np.float64), theta)
+            def take_leaf(a, i=i):
+                # Slice only batched leaves (leading axis == B; the
+                # package-wide theta convention); cast only floating
+                # leaves — integer leaves (index arrays) pass through.
+                ah = np.asarray(a)
+                if ah.ndim and ah.shape[0] == B:
+                    ah = ah[int(i)]
+                return ah.astype(np.float64) if np.issubdtype(ah.dtype, np.floating) else ah
+
+            th_i = jax.tree.map(take_leaf, theta)
             fns = bp.instance_fns(jax.tree.map(jnp.asarray, th_i))
             x = np.asarray(X, np.float64)[int(i)]
             xj = jnp.asarray(x)

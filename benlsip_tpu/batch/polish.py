@@ -213,51 +213,19 @@ def _chord_phase_qr(fns, poly: Polyhedron, x: Array, nu: Array, RJ: Array,
                     crit_tol: float, feas_tol: float):
     """QR-factored twin of `_chord_phase`: frozen (RJ, Qw, Tw) solves with
     the exact KKT residual in delta form (see `_chord_phase` on why the
-    incremental dual is load-bearing).  Returns the same tuple."""
-    A, b = poly.A, poly.b
-    p = nu.shape[0] - A.shape[0]
+    incremental dual is load-bearing).  Returns the same tuple.
 
-    for _ in range(chord_steps):  # static unroll
-        r = fns.residuals(x)
-        J = fns.jac_res(x)
-        c = fns.nlconstraints(x)
-        C = fns.jac_nlcons(x)
-        e = jnp.concatenate([c, A @ x - b], axis=0)
-        gL = J.T @ r + jnp.concatenate([C, A], axis=0).T @ nu
-        dx, dnu = _kkt_solve_qr(RJ, Qw, Tw, -(free * gL), -e)
-        x = jnp.clip(x + dx * free, poly.xl, poly.xu)
-        nu = nu + dnu
-    y = nu[:p]
-
-    r = fns.residuals(x)
-    c = fns.nlconstraints(x)
-    gL = fns.jac_res(x).T @ r + fns.jac_nlcons(x).T @ y
-    from ..ops.polyproject import projection_polyhedron
-
-    pix = jnp.linalg.norm(projection_polyhedron(poly, x - gL) - x)
-    feas = jnp.sqrt(jnp.sum(c * c) + jnp.sum((A @ x - b) ** 2))
-    converged = (pix <= crit_tol) & (feas <= feas_tol)
-    return x, y, converged, pix, feas, 0.5 * jnp.vdot(r, r)
-
-
-def _chord_phase_qr_mixed(fns, poly: Polyhedron, x: Array, nu: Array, RJ: Array,
-                          Qw: Array, Tw: Array, free: Array, chord_steps: int,
-                          crit_tol: float, feas_tol: float):
-    """Mixed-precision chord phase: f64 KKT residuals, f32 factored solves.
-
-    The on-device twin of the split pipeline's cost model
-    (`sqp_polish_split`): the factors stay in the f32 they were computed
-    in — promoting them to f64 buys no accuracy (the factor only sets the
-    contraction rate, ~κ·eps(f32) per step; `_chord_phase` docstring) but
-    on TPU it moves the two triangular solves per step into the f64
-    EMULATION, measured 76 ms per chord step at config-3 shape vs ~8 ms
-    for this form.  Only the exact KKT residual (delta-form rhs) and the
-    state updates run in f64; the correction (dx, dnu) is solved in f32
-    and promoted.  Certification is identical to `_chord_phase_qr`.
+    The factored solve runs in the FACTORS' dtype: when the fused device
+    path passes f32 factors with f64 state, this is mixed-precision
+    iterative refinement (f64 residuals set the accuracy, the f32 factor
+    only the contraction rate) and keeps the per-step triangular solves
+    out of the TPU f64 emulation — measured 76 ms/step emulated vs ~8 ms
+    mixed at config-3 shape.  With matching dtypes (the host path) the
+    casts are no-ops.
     """
     A, b = poly.A, poly.b
     p = nu.shape[0] - A.shape[0]
-    f32 = RJ.dtype
+    fdt = RJ.dtype
 
     for _ in range(chord_steps):  # static unroll
         r = fns.residuals(x)
@@ -267,7 +235,7 @@ def _chord_phase_qr_mixed(fns, poly: Polyhedron, x: Array, nu: Array, RJ: Array,
         e = jnp.concatenate([c, A @ x - b], axis=0)
         gL = J.T @ r + jnp.concatenate([C, A], axis=0).T @ nu
         dx, dnu = _kkt_solve_qr(
-            RJ, Qw, Tw, (-(free * gL)).astype(f32), (-e).astype(f32)
+            RJ, Qw, Tw, (-(free * gL)).astype(fdt), (-e).astype(fdt)
         )
         x = jnp.clip(x + dx.astype(x.dtype) * free, poly.xl, poly.xu)
         nu = nu + dnu.astype(nu.dtype)
@@ -673,10 +641,11 @@ def _fused_polish_runner(fns_key32, fns_key64, poly_axes_key, num_steps, active_
             x_i = jnp.where(fixedm & jnp.isfinite(poly64_i.xl) & lo_near, poly64_i.xl, x_i)
             x_i = jnp.where(fixedm & jnp.isfinite(poly64_i.xu) & ~lo_near, poly64_i.xu, x_i)
             with jax.named_scope("polish_chord_certify_f64"):
-                # Factors stay f32 (mixed-precision chord — see
-                # _chord_phase_qr_mixed on why promoting them costs 10x
-                # under the TPU f64 emulation and buys nothing).
-                return _chord_phase_qr_mixed(
+                # Factors stay f32: _chord_phase_qr solves in the factors'
+                # dtype (mixed-precision iterative refinement — promoting
+                # them to f64 costs 10x under the TPU emulation and buys
+                # nothing).
+                return _chord_phase_qr(
                     fns64, poly64_i, x_i, nu.astype(jnp.float64),
                     RJ, Qw, Tw, free.astype(jnp.float64),
                     num_steps - rs, crit_tol, feas_tol)
@@ -886,7 +855,13 @@ def polish_then_refine(
                 xl=None if bp.xl is None else f64(put(bp.xl)),
                 xu=None if bp.xu is None else f64(put(bp.xu)),
             )
-        use_fused = on_accelerator and bp32 is not None and theta32 is not None
+        # split="off" is the documented opt-out from f32 factors (families
+        # whose conditioning needs the all-f64 polish); honor it here too —
+        # the fused path's factor phase is f32 by construction.
+        use_fused = (
+            on_accelerator and bp32 is not None and theta32 is not None
+            and split != "off"
+        )
         use_split = (
             bp32 is not None
             and theta32 is not None

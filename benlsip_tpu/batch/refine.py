@@ -286,16 +286,20 @@ def _overlapped_pipeline(
 
     # Phase 2: certify chunk i (pulls Xc — blocks only on that chunk's
     # completion) while later chunks still run on the device.
+    cpu = jax.devices("cpu")[0]
     parts = []
     for sl, (bp32_c, th32_c, Xc) in zip(slices, bulk_out):
         bp_hc, th_hc = _slice_batched(bp_h, theta_h, sl)
-        parts.append(
-            polish_then_refine(
-                bp_hc, th_hc, Xc, options, num_steps=polish_steps, chunk=csz,
-                device=None if certify == "device" else refine_device,
-                bp32=bp32_c, theta32=th32_c,
-            )
+        Xp, Yp, ip = polish_then_refine(
+            bp_hc, th_hc, Xc, options, num_steps=polish_steps, chunk=csz,
+            device=None if certify == "device" else refine_device,
+            bp32=bp32_c, theta32=th32_c,
         )
+        # Normalize commitments: the device-certify path returns
+        # device-committed arrays UNLESS its CPU fallback ran (then CPU);
+        # mixed commitments across chunks would make the concatenates
+        # below cross-device errors.
+        parts.append(jax.tree.map(lambda a: jax.device_put(a, cpu), (Xp, Yp, ip)))
     X = jnp.concatenate([p[0] for p in parts], axis=0)
     Y = jnp.concatenate([p[1] for p in parts], axis=0)
     info = SolveInfo(*[

@@ -192,7 +192,11 @@ def with_gram_rows(
     if n % D:
         raise ValueError(f"n={n} not divisible by mesh axis size {D} for the sharded Gram layout")
     rows_per = n // D
-    rows = gram_j_rows(H.J, axis, schedule) if Gj_rows is None else Gj_rows.astype(H.J.dtype)
+    # Both branches cast back to the operator dtype: gram_j_rows
+    # accumulates bf16 in f32 (its contract), but the operator must keep
+    # the input dtype — an f32 G_rows from a bf16 J would double the
+    # persistent n²/D footprint AND change the CG carry dtype mid-loop.
+    rows = (gram_j_rows(H.J, axis, schedule) if Gj_rows is None else Gj_rows).astype(H.J.dtype)
     if H.C.shape[0]:  # p==0: skip the degenerate zero term (see with_gram)
         start = axis_index(axis) * rows_per
         C_loc = jax.lax.dynamic_slice_in_dim(H.C, start, rows_per, axis=1)  # (p, n/D)

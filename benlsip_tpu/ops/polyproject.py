@@ -43,7 +43,9 @@ Array = jax.Array
 class _NewtonCarry(NamedTuple):
     lam: Array
     Fnorm: Array
-    best: Array
+    best: Array       # stall-detection reference ‖F‖ (reset on restart)
+    fbest: Array      # smallest ‖F‖ ever seen (never reset)
+    lam_best: Array   # the dual achieving `fbest` (cap-exit safety)
     stall: Array
     it: Array
     restarted: Array
@@ -120,16 +122,28 @@ def projection_polyhedron(
         # first stall is consumed by the cold restart in `body` instead.
         return (c.Fnorm > tol_val) & (c.it < max_iter) & ((c.stall < 4) | ~c.restarted)
 
+    # Residual of the cold start, used by the in-loop restart below;
+    # computed ONCE here (F(0) does not depend on the loop state, and
+    # evaluating it inside `body` would add a full dual-residual
+    # evaluation to every Newton iteration of every call).
+    fn_zero = jnp.linalg.norm(F_of(jnp.zeros((m,), dtype)))
+
     def body(c: _NewtonCarry):
         # Cold-restart rescue: a stale warm start can stall the damped
         # Newton on the wrong face; spend the first stall trigger on
-        # lam <- 0 rather than an above-tolerance exit.
+        # lam <- 0 rather than an above-tolerance exit.  `best`/`lam_best`
+        # deliberately survive the restart: if the cold trajectory ends
+        # worse (max_iter cap), the pre-restart iterate is restored at
+        # exit.
         do_restart = (c.stall >= 4) & ~c.restarted
         lam_r = jnp.where(do_restart, jnp.zeros_like(c.lam), c.lam)
-        fr = jnp.where(do_restart, jnp.linalg.norm(F_of(lam_r)), c.Fnorm)
+        fr = jnp.where(do_restart, fn_zero, c.Fnorm)
         c = _NewtonCarry(
             lam_r, fr,
-            jnp.where(do_restart, fr, c.best),
+            # Stall reference resets so the cold trajectory gets its own
+            # stall budget; the global (fbest, lam_best) pair survives.
+            jnp.where(do_restart, fn_zero, c.best),
+            c.fbest, c.lam_best,
             jnp.where(do_restart, 0, c.stall),
             c.it,
             c.restarted | do_restart,
@@ -198,10 +212,13 @@ def projection_polyhedron(
         lam_new = jnp.where(accept, lam_try, lam)
         fn_new = jnp.where(accept, fn_try, c.Fnorm)
         improved = fn_new < 0.7 * c.best
+        record = fn_new < c.fbest
         return _NewtonCarry(
             lam_new,
             fn_new,
             jnp.minimum(fn_new, c.best),
+            jnp.minimum(fn_new, c.fbest),
+            jnp.where(record, lam_new, c.lam_best),
             jnp.where(improved, 0, c.stall + 1),
             c.it + 1,
             c.restarted,
@@ -212,13 +229,17 @@ def projection_polyhedron(
     # Cold starts have no restart budget (restarting to zeros from zeros
     # is a no-op); warm starts get one.
     c0 = _NewtonCarry(
-        lam_init, fn0, fn0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        lam_init, fn0, fn0, fn0, lam_init,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         jnp.asarray(lam0 is None),
     )
     out = lax.while_loop(cond, body, c0)
-    ret = (v_of(out.lam),)
+    # Cap/stall exits can end on a post-restart iterate worse than the
+    # best one seen; hand back the recorded best in that case.
+    lam_fin = jnp.where(out.Fnorm <= out.fbest, out.lam, out.lam_best)
+    ret = (v_of(lam_fin),)
     if return_lam:
-        ret += (out.lam,)
+        ret += (lam_fin,)
     if return_iters:
         ret += (out.it,)
     return ret if len(ret) > 1 else ret[0]

@@ -83,7 +83,7 @@ def solve_qp(
     m = A.shape[0]
 
     if boxed:
-        return _solve_qp_boxed(Q, c, A, b, xl, xu, x0, reg, options)
+        return _solve_qp_boxed(Q, c, A, b, xl, xu, x0, reg, options, tol)
 
     if tol is None:
         tol = float(jnp.finfo(dtype).eps) ** 0.5
@@ -122,8 +122,11 @@ def solve_qp(
     return x, nu, QPInfo(converged=ok, status=status, iters=iters, stationarity=stat)
 
 
-def _solve_qp_boxed(Q, c, A, b, xl, xu, x0, reg, options):
-    """Box path: Cholesky lift onto the NLS solver (see module docstring)."""
+def _solve_qp_boxed(Q, c, A, b, xl, xu, x0, reg, options, tol=None):
+    """Box path: Cholesky lift onto the NLS solver (see module docstring).
+
+    `tol` maps onto the solver's criticality tolerance so the equality
+    and box paths honor the same knob."""
     from .api import Problem, solve
 
     dtype = c.dtype
@@ -149,7 +152,10 @@ def _solve_qp_boxed(Q, c, A, b, xl, xu, x0, reg, options):
     import dataclasses
 
     opts = options or SolverOptions()
-    opts = dataclasses.replace(opts, linear_residuals=True)
+    upd = {"linear_residuals": True}
+    if tol is not None:
+        upd["crit_tol"] = tol
+    opts = dataclasses.replace(opts, **upd)
     xs = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     x, _, info = solve(problem, xs, opts)
 
