@@ -41,7 +41,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host"):
+def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host",
+                   bulk_max_inner=None):
     """Mixed-precision pipeline: f32 bulk on `device`, f64 refine on CPU.
 
     Master f64 data stays host-resident (the production layout); the
@@ -54,7 +55,8 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host"):
     # No difficulty sorting here: the pilot run is a second compiled program
     # and TPU compiles through the tunnel are the bench's scarce resource.
     X, Y, info = solve_mixed_precision(
-        bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify
+        bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify,
+        bulk_max_inner=bulk_max_inner,
     )
     float(jnp.sum(X))  # true fence: block_until_ready is a no-op via the relay
     # Best of 3 timed reps: the socket tunnel to the chip adds 20-60% wall
@@ -64,7 +66,8 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host"):
     for _ in range(3):
         t0 = time.perf_counter()
         X, Y, info = solve_mixed_precision(
-            bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify
+            bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify,
+            bulk_max_inner=bulk_max_inner,
         )
         float(jnp.sum(X))
         walls.append(time.perf_counter() - t0)
@@ -186,7 +189,9 @@ def _config5_summary(dev, B=16384):
 
     opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
     bp, theta, X0 = exp_fit_family(B, d=32, seed=7, dtype=jnp.float64)
-    dt, conv, _, X5 = _time_pipeline(bp, theta, X0, opts, dev)
+    # bulk_max_inner=8: the lockstep-tail cap (see solve_mixed_precision)
+    # — measured +10-12% at this scale with unchanged certified fraction.
+    dt, conv, _, X5 = _time_pipeline(bp, theta, X0, opts, dev, bulk_max_inner=8)
     rate = conv / dt
 
     k = 64
@@ -225,12 +230,16 @@ def main():
     bp, theta, X0 = exp_fit_family(B, d=32, seed=42, dtype=jnp.float64)
     dev = jax.devices()[0]
 
-    dt_b, conv_b, walls, X_d = _time_pipeline(bp, theta, X0, opts, dev)
+    # bulk_max_inner=8: the lockstep-tail cap (batch/refine.py) — measured
+    # +9-12% on this family with unchanged certified fraction.
+    dt_b, conv_b, walls, X_d = _time_pipeline(bp, theta, X0, opts, dev,
+                                              bulk_max_inner=8)
     rate = conv_b / dt_b
 
     # Device-resident certification variant (VERDICT round-1 item 5): the
     # f64 polish runs ON the chip, removing the D2H + host-polish leg.
-    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device")
+    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device",
+                                        bulk_max_inner=8)
     rate_dev = conv_d / dt_d
 
     # Primary baseline: tight single-core numpy (the reference's execution

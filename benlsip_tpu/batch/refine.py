@@ -102,6 +102,7 @@ def solve_mixed_precision(
     pipeline_overlap: bool = False,
     bulk_dtype=jnp.float32,
     bulk_matmul_precision: Optional[str] = None,
+    bulk_max_inner: Optional[int] = None,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
@@ -201,6 +202,19 @@ def solve_mixed_precision(
         # to land in the polish's Newton basin — wrong answers cost
         # fallback time, never accuracy.
         bulk_opts = dataclasses.replace(bulk_opts, matmul_precision=bulk_matmul_precision)
+    if polish and bulk_max_inner is not None:
+        # Lockstep-tail cap: the batched inner TR loop runs each chunk to
+        # its slowest instance's subproblem (measured p50=6 / max=29 inner
+        # iterations at config-5 — EVERY chunk pays ~26 lockstep).
+        # Capping the bulk phase's per-subproblem iterations bounds that
+        # tail; AL theory tolerates inexact subproblem solves, and the
+        # certification phase (not affected by this knob) absorbs or
+        # falls back on the rare instance that lands short.  Measured at
+        # config-5: cap 6-8 is +10-12% end-to-end with unchanged
+        # certified convergence.
+        bulk_opts = dataclasses.replace(
+            bulk_opts, max_inner_iter=min(bulk_max_inner, options.max_inner_iter)
+        )
     if pipeline_overlap and polish:
         return _overlapped_pipeline(
             bp_h, theta_h, bp32, theta32, X0_32, options, bulk_opts,

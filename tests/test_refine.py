@@ -131,3 +131,20 @@ def test_bf16_bulk_certifies_to_f64_grade():
     assert bool(np.all(np.asarray(ib.converged)))
     Xf, Yf, if_ = solve_mixed_precision(bp, theta, X0, opts, chunk=96)
     np.testing.assert_allclose(np.asarray(Xb), np.asarray(Xf), rtol=1e-7, atol=1e-8)
+
+
+def test_bulk_max_inner_cap_certifies():
+    """The lockstep-tail cap (bulk_max_inner) must not change certified
+    results — the certification phase absorbs looser bulk solves."""
+    import jax.numpy as jnp
+
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    bp, theta, X0 = exp_fit_family(32, d=32, seed=13, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=32, bulk_max_inner=6)
+    assert int(jnp.sum(info.converged)) == 32
+    X2, Y2, info2 = solve_mixed_precision(bp, theta, X0, opts, chunk=32)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X2), rtol=1e-7, atol=1e-9)
