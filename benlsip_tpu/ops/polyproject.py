@@ -85,6 +85,10 @@ def projection_polyhedron(
     if reg is None:
         reg = float(eps) ** 0.5
     # Root-finder geometry ~ mantissa bits: 16x shrink per section round.
+    # (Round 4 tried f32 grid evaluations for f64 duals — the line search
+    # only needs sign patterns — but near the root |phi| falls below f32
+    # noise, the bracket wanders, and warm projections took 5x the
+    # iterations: the grids must run at the dual's precision.)
     grow_pows = 40 if dtype == jnp.float32 else 60
     n_section = 6 if dtype == jnp.float32 else 14
 
