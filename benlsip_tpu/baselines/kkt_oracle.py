@@ -146,12 +146,14 @@ def kkt_cross_check_batch(
     import jax
     import jax.numpy as jnp
 
+    from ..harness.devices import local_cpu
+
     B = int(np.asarray(X).shape[0])
     k = min(sample, B)
     idx = np.random.default_rng(seed).choice(B, size=k, replace=False)
     n = np.asarray(X).shape[-1]
 
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     with jax.default_device(cpu):
         poly = bp.polyhedron(n, jnp.float64)
         agree = 0

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.constraints import Polyhedron
+from ..harness.devices import local_cpu
 from ..solver.options import SolverOptions
 from ..solver.outer import SolveInfo
 from ..solver.status import SOLVE_CONVERGED, SOLVE_MAX_OUTER
@@ -566,7 +567,7 @@ def sqp_polish_split(
         kk = n + q
         shapes = ((B, n), (B, q), (B, kk, kk), (B, n))
 
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     with jax.default_device(cpu):
         flat_h = np.asarray(flat32)          # ONE D2H pull of the f32 payload
         parts, off = [], 0
@@ -814,7 +815,7 @@ def polish_then_refine(
     from .refine import _cast_tree
 
     if device == "cpu":
-        dev = jax.devices("cpu")[0]
+        dev = local_cpu()
     elif device is None:
         dev = next(iter(X32.devices()))
     else:
@@ -946,7 +947,7 @@ def polish_then_refine(
             # fallback merge below scatters CPU results into them, which
             # jit rejects as a cross-device computation.  Results leave
             # for the host after this function anyway — pull them now.
-            host = jax.devices("cpu")[0]
+            host = local_cpu()
             X, Y = jax.device_put(X, host), jax.device_put(Y, host)
             info = SolveInfo(*[
                 jax.device_put(getattr(info, f), host) for f in SolveInfo._fields

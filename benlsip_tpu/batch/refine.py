@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..harness.devices import local_cpu
 from ..solver.options import SolverOptions
 from ..solver.outer import SolveInfo
 from .vmap_solve import BatchedProblem, solve_batched_chunked
@@ -66,7 +67,7 @@ def refine_f64(
     # TPU).  device=None gathers everything onto X's device (inputs can
     # arrive with mixed commitments — host problem data, device-resident X).
     if device == "cpu":
-        dev = jax.devices("cpu")[0]
+        dev = local_cpu()
     elif device is None:
         dev = next(iter(X.devices()))
     else:
@@ -153,12 +154,15 @@ def solve_mixed_precision(
     # dispatch the astype to the default device — on TPU that means emulated
     # f64 reads and double-width tunnel traffic; master f64 data belongs on
     # host (where the f64 certification phase runs anyway).
-    cpu = jax.devices("cpu")[0]
-    # Bulk device: explicit argument > ambient default_device > devices()[0].
+    cpu = local_cpu()
+    # Bulk device: explicit argument > ambient default_device > first LOCAL
+    # device (jax.devices()[0] is the global list's first — under
+    # jax.distributed that is process 0's device and non-addressable from
+    # every other process).
     bulk_dev = bulk_device
     if bulk_dev is None:
         cfg_dev = jax.config.jax_default_device
-        bulk_dev = cfg_dev if cfg_dev is not None else jax.devices()[0]
+        bulk_dev = cfg_dev if cfg_dev is not None else jax.local_devices()[0]
     with jax.default_device(cpu):
         put_h = lambda t: jax.tree.map(lambda a: jax.device_put(a, cpu), t)
         theta_h = put_h(theta)       # host master copy, reused by the f64 phase
@@ -300,7 +304,7 @@ def _overlapped_pipeline(
 
     # Phase 2: certify chunk i (pulls Xc — blocks only on that chunk's
     # completion) while later chunks still run on the device.
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     parts = []
     for sl, (bp32_c, th32_c, Xc) in zip(slices, bulk_out):
         bp_hc, th_hc = _slice_batched(bp_h, theta_h, sl)

@@ -96,3 +96,39 @@ def test_two_process_sweep_efficiency():
     # scheduling noise is the dominant spread source; on real hosts each
     # process has its own cores and the spread is the workload's own.
     assert eff >= 0.5, f"efficiency {eff:.3f} below floor; totals={totals}"
+
+
+@pytest.mark.slow
+def test_two_process_mixed_precision_pipeline():
+    """The FULL mixed-precision pipeline (bulk + fused/host polish +
+    certification) runs per-process under jax.distributed — the round-4
+    multi-process hardening: host placement via jax.local_devices (the
+    global jax.devices()[0] belongs to process 0 and is non-addressable
+    elsewhere).  Drives examples/multihost_sweep.py 2-process and asserts
+    every instance on every host certifies."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(os.path.dirname(here), "examples", "multihost_sweep.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, "--pid", str(pid), "--nprocs", "2",
+             "--port", "12413", "--B", "128", "--chunk", "64"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=os.path.dirname(here),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise RuntimeError("pipeline worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert f"[host {pid}/2] 64/64 certified" in out, out[-500:]
