@@ -148,6 +148,15 @@ def solve_mixed_precision(
     polish factor phase, and the warm start just needs to land in the
     polish's Newton basin (bulk_crit_tol already loosens the bulk to
     1e-2 for the same reason).
+
+    bulk_max_inner caps the bulk phase's per-subproblem TR iterations
+    (the lockstep-tail cap: each chunk's while_loop runs to its slowest
+    instance; measured +10-12% at config-2/5 with certified fraction
+    unchanged).  Like bulk_crit_tol it applies only with polish=True —
+    both knobs trade bulk accuracy against the polish phase absorbing
+    the slack, and with polish=False the full refine restarts cold from
+    whatever the bulk produced, so the cap is ignored there rather than
+    silently degrading the only accurate phase.
     """
     # Build the f32 working copy on HOST, then ship it to the bulk device in
     # one explicit transfer.  Casting uncommitted f64 arrays directly would

@@ -42,11 +42,13 @@ args = ap.parse_args()
 # uses jax.distributed directly; benlsip_tpu.dist.collectives
 # .initialize_distributed is the same passthrough for programs that
 # initialize before importing the package.
+# x64 BEFORE any array exists — the f64 master data and certification
+# phase depend on it in both modes.
+jax.config.update("jax_enable_x64", True)
 if args.pid is not None:
     # Local rehearsal: explicit coordinator.  On a pod, call with no args —
     # jax.distributed.initialize() discovers everything from the TPU env.
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{args.port}",
         num_processes=args.nprocs,
@@ -62,18 +64,17 @@ from benlsip_tpu.problems.generators import exp_fit_family
 from benlsip_tpu.solver.options import SolverOptions
 
 pid, nprocs = jax.process_index(), jax.process_count()
+assert args.B % nprocs == 0, f"B={args.B} must divide evenly over {nprocs} hosts"
 B_local = args.B // nprocs
 lo = pid * B_local
 
 # Every process builds the SAME deterministic family and takes its slice —
 # on a real sweep each host would load its shard of the dataset instead.
-bp, theta, X0 = exp_fit_family(args.B, d=32, seed=7, dtype=jnp.float64)
-theta_l = jax.tree.map(lambda a: a[lo:lo + B_local], theta)
-import dataclasses
+# _slice_batched handles every per-instance polyhedron field generically.
+from benlsip_tpu.batch.refine import _slice_batched
 
-bp_l = dataclasses.replace(
-    bp, b=None if bp.b is None else bp.b[lo:lo + B_local]
-)
+bp, theta, X0 = exp_fit_family(args.B, d=32, seed=7, dtype=jnp.float64)
+bp_l, theta_l = _slice_batched(bp, theta, slice(lo, lo + B_local))
 X0_l = X0[lo:lo + B_local]
 
 opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
