@@ -89,8 +89,58 @@ def kkt_check_point(
 
     # Equality multipliers from the free stationarity rows (LAPACK lstsq —
     # min-norm for rank-deficient E, matching the solver's own convention).
+    degenerate_all_active = False
     if E.shape[0] and free.any():
         mu, *_ = np.linalg.lstsq(E[:, free].T, -g[free], rcond=None)
+    elif E.shape[0] and not free.any():
+        # Fully-active box WITH equalities: there are no free stationarity
+        # rows to pin mu, so mu=0 + a raw-gradient sign test can falsely
+        # fail a genuine KKT point (round-4 advisor finding).  Estimate
+        # (mu, sigma) jointly from the FULL stationarity rows with the
+        # implied bound duals as sign-constrained slack:
+        #     min ‖g + Eᵀmu − S sigma‖   s.t. sigma ≥ 0,
+        # where S carries +e_i on lower-active and −e_i on upper-active
+        # coords (both-bounds coords get an unsigned column).  A KKT point
+        # has residual 0; the sign conditions hold by construction, so the
+        # residual itself is the stationarity measure.
+        both = on_lo & on_hi
+        S_cols = []
+        for i in range(n):
+            col = np.zeros(n)
+            col[i] = 1.0 if (on_lo[i] or both[i]) else -1.0
+            S_cols.append(col)
+        S = np.stack(S_cols, axis=1)  # (n, n): one dual column per coord
+        try:
+            from scipy.optimize import lsq_linear
+
+            q = E.shape[0]
+            M = np.concatenate([E.T, -S], axis=1)      # (n, q + n)
+            lb = np.concatenate([np.full(q, -np.inf), np.zeros(n)])
+            # Both-bounds coords carry either sign (degenerate box):
+            lb[q:][np.asarray(both)] = -np.inf
+            sol = lsq_linear(M, -g, bounds=(lb, np.full(q + n, np.inf)))
+            mu = sol.x[:q]
+            sigma = sol.x[q:]
+            resid = g + E.T @ mu - S @ sigma
+            return {
+                "ok": bool(
+                    float(np.linalg.norm(resid)) <= stat_tol * scale
+                    and feas <= feas_tol * feas_scale
+                    and bound_viol
+                    <= feas_tol * (1.0 + float(np.max(np.abs(x), initial=0.0)))
+                ),
+                "stat": float(np.linalg.norm(resid)),
+                "feas": feas,
+                "bound_viol": bound_viol,
+                "sign_viol": 0.0,  # enforced by the sigma >= 0 constraint
+                "scale": scale,
+                "n_free": 0,
+                "n_eq": int(E.shape[0]),
+                "degenerate_all_active": True,
+            }
+        except ImportError:  # pragma: no cover - scipy is present in-image
+            mu = np.zeros((E.shape[0],))
+            degenerate_all_active = True  # sign check unreliable; flag it
     else:
         mu = np.zeros((E.shape[0],))
     gL = g + (E.T @ mu if E.shape[0] else 0.0)
@@ -101,10 +151,11 @@ def kkt_check_point(
     # box) carry either sign.
     both = on_lo & on_hi
     sign_viol = 0.0
-    if (on_lo & ~both).any():
-        sign_viol = max(sign_viol, float(-(gL[on_lo & ~both]).min(initial=0.0)))
-    if (on_hi & ~both).any():
-        sign_viol = max(sign_viol, float((gL[on_hi & ~both]).max(initial=0.0)))
+    if not degenerate_all_active:
+        if (on_lo & ~both).any():
+            sign_viol = max(sign_viol, float(-(gL[on_lo & ~both]).min(initial=0.0)))
+        if (on_hi & ~both).any():
+            sign_viol = max(sign_viol, float((gL[on_hi & ~both]).max(initial=0.0)))
 
     bound_scale = 1.0 + float(np.max(np.abs(x), initial=0.0))
     ok = (
@@ -113,7 +164,7 @@ def kkt_check_point(
         and bound_viol <= feas_tol * bound_scale
         and sign_viol <= stat_tol * scale
     )
-    return {
+    out = {
         "ok": bool(ok),
         "stat": stat,
         "feas": feas,
@@ -123,6 +174,9 @@ def kkt_check_point(
         "n_free": int(free.sum()),
         "n_eq": int(E.shape[0]),
     }
+    if degenerate_all_active:  # scipy-less fallback: sign check skipped
+        out["degenerate_all_active"] = True
+    return out
 
 
 def kkt_cross_check_batch(

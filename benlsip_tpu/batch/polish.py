@@ -541,6 +541,12 @@ def sqp_polish_split(
     is O(κ(J)²·eps(f32)) — measured on the κ=1e4 ill-conditioned family,
     the LU split certifies 0/8 while QR matches the all-f64 polish.
 
+    Step-count convention (unified across every polish path): `num_steps`
+    is the TOTAL Newton-step budget — `refactor_steps` factor-phase steps
+    followed by `num_steps − refactor_steps` chord steps, exactly as in
+    `sqp_polish` and the fused device path, so tuning num_steps transfers
+    between certify="host" and certify="device".
+
     Returns (X, Y, converged, pix, feas, objective) in f64 on host.
     """
     n = X32.shape[-1]
@@ -551,6 +557,7 @@ def sqp_polish_split(
     poly32 = bp32.polyhedron(n, jnp.float32)
     fns_key32 = (bp32.residuals, bp32.nlconstraints, bp32.jac_res, bp32.jac_nlcons)
     rs = min(max(refactor_steps, 1), num_steps)
+    chord_steps = num_steps - rs
     piv = None
     if kkt == "qr":
         fr = _factor_runner_qr(fns_key32, poly_batch_axes(poly32), rs, active_tol, reg)
@@ -594,12 +601,12 @@ def sqp_polish_split(
             RJ_h = np.zeros((B, n, n), np.float64)
             RJ_h[:, iu[0], iu[1]] = np.asarray(RJ_tri)
             RJ = jnp.asarray(RJ_h)
-            cr = _chord_runner_qr(fns_key64, poly_batch_axes(poly64), num_steps,
+            cr = _chord_runner_qr(fns_key64, poly_batch_axes(poly64), chord_steps,
                                   float(opts.crit_tol), float(opts.feas_tol))
             return cr(theta64, x, nu, RJ, Qw, Tw, free, poly64)
         x, nu, lu, free = parts
         piv_h = jnp.asarray(np.asarray(piv))
-        cr = _chord_runner(fns_key64, poly_batch_axes(poly64), num_steps,
+        cr = _chord_runner(fns_key64, poly_batch_axes(poly64), chord_steps,
                            float(opts.crit_tol), float(opts.feas_tol))
         return cr(theta64, x, nu, lu, piv_h, free, poly64)
 
@@ -791,6 +798,10 @@ def polish_then_refine(
     fallback_device: Optional[object] = "cpu",
 ) -> Tuple[Array, Array, SolveInfo]:
     """f64 certification phase: SQP polish + full-refine fallback.
+
+    `num_steps` is the total Newton-step budget per polish pass on every
+    path (refactor_steps factor-phase steps + the rest chord steps; see
+    `sqp_polish_split`), so the knob transfers between certify modes.
 
     Polishes every instance (cheap); instances whose certification fails
     get up to `rounds-1` further polish rounds (same compiled program, a

@@ -149,6 +149,10 @@ def solve_mixed_precision(
     polish's Newton basin (bulk_crit_tol already loosens the bulk to
     1e-2 for the same reason).
 
+    bulk_matmul_precision overrides the bulk phase's MXU matmul precision
+    (e.g. "default" for bf16-pass f32).  Applies only with polish=True —
+    same rationale as the other bulk-degrading knobs below.
+
     bulk_max_inner caps the bulk phase's per-subproblem TR iterations
     (the lockstep-tail cap: each chunk's while_loop runs to its slowest
     instance; measured +10-12% at config-2/5 with certified fraction
@@ -208,12 +212,16 @@ def solve_mixed_precision(
     bulk_opts = options
     if polish and bulk_crit_tol is not None:
         bulk_opts = dataclasses.replace(options, crit_tol=bulk_crit_tol)
-    if bulk_matmul_precision is not None:
+    if polish and bulk_matmul_precision is not None:
         # Cheaper-bulk experiment knob (VERDICT r3 #8): run the f32 bulk
         # phase at a lower MXU precision ("default" = bf16 passes).  The
         # certification phase catches any instance the cheaper bulk fails
         # to land in the polish's Newton basin — wrong answers cost
-        # fallback time, never accuracy.
+        # fallback time, never accuracy.  Gated on polish=True like
+        # bulk_crit_tol/bulk_max_inner: all three knobs trade bulk accuracy
+        # against the polish absorbing the slack, and with polish=False the
+        # full refine restarts cold from the bulk point, so a degraded bulk
+        # would silently cost refine iterations with nothing absorbing it.
         bulk_opts = dataclasses.replace(bulk_opts, matmul_precision=bulk_matmul_precision)
     if polish and bulk_max_inner is not None:
         # Lockstep-tail cap: the batched inner TR loop runs each chunk to

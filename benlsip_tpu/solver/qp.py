@@ -2,8 +2,10 @@
 
 The reference carries a public-looking equality-constrained QP surface in
 its dead code (`solve_quadratic`, `/root/reference/src/pcg.jl:292-317`:
-projected CG on min ½xᵀGx + cᵀx s.t. Ax = b); the live package never
-exposes it.  VERDICT r3 listed it as the one "observation"-grade gap, so
+projected CG on a quadratic over Ax = b); the live package never exposes
+it.  Sign convention: this module minimizes ½xᵀQx + cᵀx, while the
+reference's `solve_quadratic` minimizes ½xᵀHx − cᵀx — anyone porting a
+reference call site must pass `-c` here.  VERDICT r3 listed it as the one "observation"-grade gap, so
 the rebuild provides the surface TPU-first:
 
 * `solve_qp` — equality constraints only: one jittable program (feasible

@@ -77,3 +77,38 @@ def test_oracle_bound_active_sign_condition():
         xl=np.array([-np.inf]), xu=np.array([1.0]),
     )
     assert not res_bad["ok"], res_bad
+
+
+def test_oracle_fully_active_box_with_equalities():
+    """A genuine KKT point whose EVERY coordinate sits on a bound, with an
+    equality present, must pass: the multiplier estimate then has no free
+    stationarity rows, so the oracle solves the sign-constrained full-row
+    system instead of falsely testing raw-gradient signs (round-4 advisor
+    finding).
+
+    Problem: min 1/2 ||x - t||^2  s.t.  x1 + x2 = 2,  0 <= x <= 1, with
+    t = (2, 2).  Unique feasible point of {x1+x2=2} ∩ [0,1]² is x=(1,1) —
+    both coordinates upper-active.  Stationarity: g = x - t = (-1,-1) =
+    -A^T mu + sigma_hi with mu = 1, sigma_hi = 0 >= 0: a KKT point.
+    """
+    x = np.array([1.0, 1.0])
+    res = kkt_check_point(
+        x, r=x - np.array([2.0, 2.0]), J=np.eye(2), c=None, C=None,
+        A=np.array([[1.0, 1.0]]), b=np.array([2.0]),
+        xl=np.zeros(2), xu=np.ones(2),
+    )
+    assert res["ok"], res
+    assert res.get("degenerate_all_active"), res
+
+    # Negative case: fully-active point that is NOT KKT.  n=3 with the
+    # same equality on (x1, x2); x = (1, 1, 0) has x3 lower-active and the
+    # target t3 = 5 pulls x3 INWARD: sigma_lo_3 = gL_3 = x3 - 5 = -5 < 0
+    # and no mu (which touches only coords 1, 2) can fix it — the
+    # sign-constrained full-row system keeps a residual of 5.
+    x3 = np.array([1.0, 1.0, 0.0])
+    res_bad = kkt_check_point(
+        x3, r=x3 - np.array([2.0, 2.0, 5.0]), J=np.eye(3), c=None, C=None,
+        A=np.array([[1.0, 1.0, 0.0]]), b=np.array([2.0]),
+        xl=np.zeros(3), xu=np.ones(3),
+    )
+    assert not res_bad["ok"], res_bad
