@@ -165,7 +165,7 @@ def _config3_summary(dev):
     np_rate = max(conv_np, 1) / np_dt
     from benlsip_tpu.baselines.kkt_oracle import kkt_cross_check_batch
 
-    orc = kkt_cross_check_batch(bp, theta, X3, sample=8, seed=3)
+    orc = kkt_cross_check_batch(bp, theta, X3, sample=64, seed=3)  # all 64
     return {
         "config3_rate": round(rate, 2),
         "config3_wall_s": round(dt, 3),
@@ -208,7 +208,7 @@ def _config5_summary(dev, B=16384):
     np_rate = max(conv_np, 1) / np_dt
     from benlsip_tpu.baselines.kkt_oracle import kkt_cross_check_batch
 
-    orc = kkt_cross_check_batch(bp, theta, X5, sample=8, seed=5)
+    orc = kkt_cross_check_batch(bp, theta, X5, sample=256, seed=5)
     return {
         "config5_rate": round(rate, 1),
         "config5_batch": B,
@@ -260,13 +260,19 @@ def main():
     seq_rate = max(conv_s, 1) / dt_s
 
     # Independent first-principles KKT oracle on a sample of the certified
-    # solutions (VERDICT r3 #6): numpy-lstsq KKT conditions, sharing no
-    # code with the exact-projection certificate.
+    # solutions (VERDICT r3 #6, widened per r4 #6): numpy-lstsq KKT
+    # conditions, sharing no code with the exact-projection certificate.
     oracle = {}
     try:
-        from benlsip_tpu.baselines.kkt_oracle import kkt_cross_check_batch
+        from benlsip_tpu.baselines.kkt_oracle import (
+            kkt_check_classic_battery,
+            kkt_cross_check_batch,
+        )
 
-        oracle = kkt_cross_check_batch(bp, theta, X_d, sample=8)
+        oracle = kkt_cross_check_batch(bp, theta, X_d, sample=128)
+        # The classic HS/MGH battery through the same zero-shared-code
+        # oracle (host numpy; ~10 s warm-cache).
+        oracle.update(kkt_check_classic_battery())
     except Exception as e:  # pragma: no cover - keep the headline alive
         oracle = {"oracle_error": repr(e)[:200]}
 

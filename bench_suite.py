@@ -74,6 +74,22 @@ def config1(results):
             }
         )
 
+    # Classic HS/MGH battery through the independent first-principles KKT
+    # oracle (VERDICT r4 #6): every entry solved on host, every solution
+    # checked by the zero-shared-code numpy oracle.
+    from benlsip_tpu.baselines.kkt_oracle import kkt_check_classic_battery
+
+    t0 = time.perf_counter()
+    batt = kkt_check_classic_battery()
+    results.append(
+        {
+            "config": 1,
+            "case": "classic_battery_oracle",
+            "wall_s": round(time.perf_counter() - t0, 2),
+            **batt,
+        }
+    )
+
 
 def config2(results, B=1024):
     from benlsip_tpu.batch.refine import solve_mixed_precision

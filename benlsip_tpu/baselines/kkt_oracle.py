@@ -259,3 +259,58 @@ def kkt_cross_check_batch(
         "oracle_worst_stat": round(worst[1]["stat"], 12) if worst else 0.0,
         "oracle_worst_feas": round(worst[1]["feas"], 12) if worst else 0.0,
     }
+
+
+def kkt_check_classic_battery(options=None) -> dict:
+    """Solve every classic HS/MGH battery entry (problems/classic.py) on
+    host and run the independent oracle on each solution.
+
+    The reference oracle-checks its one integration fixture with Ipopt
+    (`/root/reference/test/problems/sphere_regression.jl:58`); this sweeps
+    the rebuild's whole battery through the zero-shared-code check.
+    Returns {"battery_oracle_checked", "battery_oracle_agree",
+    "battery_oracle_fail": [names]}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..harness.devices import local_cpu
+    from ..problems.classic import REGISTRY
+    from ..solver.api import solve
+    from ..solver.options import SolverOptions
+
+    cpu = local_cpu()
+    fails = []
+    checked = 0
+    with jax.default_device(cpu):
+        for name in sorted(REGISTRY):
+            rec = REGISTRY[name]
+            problem = rec.make_problem()
+            x0 = rec.x0()
+            opts = options or (
+                SolverOptions(max_outer_iter=100, **rec.options)
+                if rec.options
+                else SolverOptions(max_outer_iter=100, max_inner_iter=300)
+            )
+            x, y, info = solve(problem, x0, opts)
+            fns, poly = problem.build(x0.shape[0], jnp.float64)
+            xj = jnp.asarray(x)
+            c = np.asarray(fns.nlconstraints(xj), np.float64)
+            C = np.asarray(fns.jac_nlcons(xj), np.float64)
+            A = np.asarray(poly.A, np.float64)
+            res = kkt_check_point(
+                np.asarray(x, np.float64),
+                np.asarray(fns.residuals(xj), np.float64),
+                np.asarray(fns.jac_res(xj), np.float64),
+                c if c.size else None, C if C.size else None,
+                A if A.size else None, np.asarray(poly.b, np.float64),
+                np.asarray(poly.xl, np.float64), np.asarray(poly.xu, np.float64),
+            )
+            checked += 1
+            if not (bool(info.converged) and res["ok"]):
+                fails.append(name)
+    return {
+        "battery_oracle_checked": checked,
+        "battery_oracle_agree": checked - len(fails),
+        "battery_oracle_fail": fails,
+    }
