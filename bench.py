@@ -41,8 +41,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host",
-                   bulk_max_inner=None):
+def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="auto",
+                   bulk_max_inner="auto", bulk_compact=None):
     """Mixed-precision pipeline: f32 bulk on `device`, f64 refine on CPU.
 
     Master f64 data stays host-resident (the production layout); the
@@ -56,7 +56,7 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host",
     # and TPU compiles through the tunnel are the bench's scarce resource.
     X, Y, info = solve_mixed_precision(
         bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify,
-        bulk_max_inner=bulk_max_inner,
+        bulk_max_inner=bulk_max_inner, bulk_compact=bulk_compact,
     )
     float(jnp.sum(X))  # true fence: block_until_ready is a no-op via the relay
     # Best of 3 timed reps: the socket tunnel to the chip adds 20-60% wall
@@ -67,7 +67,7 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="host",
         t0 = time.perf_counter()
         X, Y, info = solve_mixed_precision(
             bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify,
-            bulk_max_inner=bulk_max_inner,
+            bulk_max_inner=bulk_max_inner, bulk_compact=bulk_compact,
         )
         float(jnp.sum(X))
         walls.append(time.perf_counter() - t0)
@@ -143,11 +143,11 @@ def _config3_summary(dev):
     B, n, d = 64, 192, 1024
     opts = SolverOptions(max_outer_iter=30, max_inner_iter=100)
     bp, theta, X0 = dense_quadratic_family(B, n=n, d=d, m=6, seed=3)
-    # Device-resident certification is the config-3 fast path (round 4):
-    # the fused f32-factor/f64-chord program measured 319.7/s vs the host
-    # path's 173.5/s — the host leg's ~170 ms factor D2H through the relay
-    # is the avoided cost.
-    dt, conv, _, X3 = _time_pipeline(bp, theta, X0, opts, dev, chunk=B, certify="device")
+    # certify="auto" resolves to the device path here (the config-3 fast
+    # path since round 4: fused f32-factor/f64-chord, no factor D2H —
+    # measured 319.7/s vs the host path's 173.5/s).  The explicit host row
+    # stays as the comparison.
+    dt, conv, _, X3 = _time_pipeline(bp, theta, X0, opts, dev, chunk=B)
     rate = conv / dt
     dt_h, conv_h, _, _ = _time_pipeline(bp, theta, X0, opts, dev, chunk=B, certify="host")
 
@@ -173,7 +173,7 @@ def _config3_summary(dev):
         "config3_baseline_rate": round(np_rate, 3),
         "config3_baseline_converged_frac": round(conv_np / k, 4),
         "config3_vs_baseline": round(rate / np_rate, 1),
-        "config3_certify": "device",
+        "config3_certify": "auto(device)",
         "config3_host_rate": round(conv_h / dt_h, 2),
         "config3_oracle_agree_frac": orc["oracle_agree_frac"],
     }
@@ -189,10 +189,18 @@ def _config5_summary(dev, B=16384):
 
     opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
     bp, theta, X0 = exp_fit_family(B, d=32, seed=7, dtype=jnp.float64)
-    # bulk_max_inner=8: the lockstep-tail cap (see solve_mixed_precision)
-    # — measured +10-12% at this scale with unchanged certified fraction.
-    dt, conv, _, X5 = _time_pipeline(bp, theta, X0, opts, dev, bulk_max_inner=8)
+    # All-auto policies: bulk_max_inner resolves to the measured cap 8
+    # (n=3 family), certify resolves per the B-threshold rule.
+    dt, conv, _, X5 = _time_pipeline(bp, theta, X0, opts, dev)
     rate = conv / dt
+    # Comparative row: the fused device certification with the round-5
+    # straggler-bucket compaction at sweep scale (the pre-compaction
+    # device path lost 3x here; this row measures whether the fix flips
+    # the auto threshold).
+    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device")
+    # Compaction at sweep scale: 32 wide chunks each stop at the horizon;
+    # the whole sweep's tail merges into ~1 narrow bucket.
+    dt_k, conv_k, _, _ = _time_pipeline(bp, theta, X0, opts, dev, bulk_compact=2)
 
     k = 64
     np_walls = []
@@ -215,6 +223,10 @@ def _config5_summary(dev, B=16384):
         "config5_converged_frac": round(conv / B, 4),
         "config5_baseline_rate": round(np_rate, 1),
         "config5_vs_baseline": round(rate / np_rate, 1),
+        "config5_device_certify_rate": round(conv_d / dt_d, 1),
+        "config5_device_converged_frac": round(conv_d / B, 4),
+        "config5_compact_rate": round(conv_k / dt_k, 1),
+        "config5_compact_converged_frac": round(conv_k / B, 4),
         "config5_oracle_agree_frac": orc["oracle_agree_frac"],
     }
 
@@ -230,17 +242,30 @@ def main():
     bp, theta, X0 = exp_fit_family(B, d=32, seed=42, dtype=jnp.float64)
     dev = jax.devices()[0]
 
-    # bulk_max_inner=8: the lockstep-tail cap (batch/refine.py) — measured
-    # +9-12% on this family with unchanged certified fraction.
+    # All-auto policies (VERDICT r4 #3): bulk_max_inner="auto" resolves to
+    # the measured cap 8 on this n=3 family; certify="auto" resolves to
+    # device at B=1024.  Explicit host row kept as the comparison.
     dt_b, conv_b, walls, X_d = _time_pipeline(bp, theta, X0, opts, dev,
-                                              bulk_max_inner=8)
+                                              certify="host")
     rate = conv_b / dt_b
 
-    # Device-resident certification variant (VERDICT round-1 item 5): the
-    # f64 polish runs ON the chip, removing the D2H + host-polish leg.
-    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device",
-                                        bulk_max_inner=8)
+    # certify="auto" (resolves to the fused device certification here).
+    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev)
     rate_dev = conv_d / dt_d
+
+    # Converged-instance compaction (VERDICT r4 #1): wide chunks stop at
+    # the outer horizon 2 (p99 of the family's outer distribution is 3);
+    # the tail finishes in narrow buckets.
+    compact_row = {}
+    try:
+        dt_k, conv_k, _, _ = _time_pipeline(bp, theta, X0, opts, dev,
+                                            bulk_compact=2)
+        compact_row = {
+            "compact_rate": round(conv_k / dt_k, 2),
+            "compact_converged_frac": round(conv_k / B, 4),
+        }
+    except Exception as e:  # pragma: no cover
+        compact_row = {"compact_error": repr(e)[:200]}
 
     # Primary baseline: tight single-core numpy (the reference's execution
     # model, measured — VERDICT round 1 item 3).
@@ -308,6 +333,7 @@ def main():
                 "device_certify_rate": round(rate_dev, 2),
                 "device_certify_wall_s": round(dt_d, 3),
                 "device_certify_converged_frac": round(conv_d / B, 4),
+                **compact_row,
                 "baseline": "tight single-core numpy AL-LM solver, same workload + KKT oracle (Julia unavailable; see BASELINE.md)",
                 "baseline_rate": round(np_rate, 2),
                 "baseline_converged_frac": round(conv_np / k_np, 4),

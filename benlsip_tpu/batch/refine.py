@@ -86,6 +86,46 @@ def refine_f64(
         return solve_batched_chunked(bp64, theta64, X64, opts, chunk=chunk)
 
 
+def _resolve_certify(certify: str, B: int, n: int, bulk_platform: str) -> str:
+    """Resolve certify="auto" to "device" or "host" per the measured
+    per-regime rule (VERDICT r4 #3; numbers in docs/BENCH_NOTES.md).
+
+    Device certification (the fused one-dispatch program) wins wherever
+    the bulk device is an accelerator: it eliminates the factor/solution
+    D2H legs (the relay measures ~58 MB/s D2H) and, since the round-5
+    straggler-bucket compaction, its re-polish rounds no longer pay a
+    batch-global pass at large B.  On a CPU bulk device there is nothing
+    to keep resident — host is the same thing without the extra plumbing.
+    Measured crossovers (single v5e behind the relay): device wins
+    config-2 (B=1024, n=3) and config-3 (B=64, n=192); at config-5
+    (B=16,384) the pre-compaction device path lost 3x — the bucketed
+    re-polish closes that, but the B=16k chord phase still runs under
+    f64 emulation, so very large batches keep the host path until a
+    measured win flips them (the n<=8 host polish is cheap at any B).
+    """
+    if certify != "auto":
+        return certify
+    if bulk_platform == "cpu":
+        return "host"
+    return "device" if B <= 8192 else "host"
+
+
+def _resolve_bulk_max_inner(bulk_max_inner, n: int, polish: bool):
+    """Resolve bulk_max_inner="auto": cap 8 for small instances (n <= 8),
+    off otherwise (VERDICT r4 #3).
+
+    Measured (docs/BENCH_NOTES.md): the cap is the lockstep-tail fix for
+    the tiny-instance families (+9-12% at configs 2/5, certified fraction
+    unchanged) because their subproblems are cheap and certification
+    absorbs the slack; mid-size families (config 3) need their inner
+    iterations — capping them there trades bulk quality for fallback
+    time.  Requires polish=True like every bulk-degrading knob.
+    """
+    if bulk_max_inner != "auto":
+        return bulk_max_inner
+    return 8 if (polish and n <= 8) else None
+
+
 def solve_mixed_precision(
     bp: BatchedProblem,
     theta,
@@ -99,20 +139,23 @@ def solve_mixed_precision(
     polish_steps: int = 5,
     bulk_crit_tol: Optional[float] = 1e-2,
     bulk_device: Optional[jax.Device] = None,
-    certify: str = "host",
+    certify: str = "auto",
     pipeline_overlap: bool = False,
     bulk_dtype=jnp.float32,
     bulk_matmul_precision: Optional[str] = None,
-    bulk_max_inner: Optional[int] = None,
+    bulk_max_inner="auto",
+    bulk_compact: Optional[int] = None,
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
-    certify="host" (default) pulls the f32 solutions to CPU for the f64
-    polish; certify="device" keeps the certification phase ON the bulk
-    device — the f64 polish compiles under the TPU's f64 emulation through
-    the range-space QR factorization (no f64 LU exists there) and the only
-    D2H traffic left is the final results.  The full-refine fallback for
-    uncertified stragglers runs on CPU either way.
+    certify="auto" (default) picks the certification path per regime from
+    the measured crossover table (`_resolve_certify`): "device" keeps the
+    certification ON the bulk device — the f64 polish compiles under the
+    TPU's f64 emulation through the range-space QR factorization (no f64
+    LU exists there) and the only D2H traffic left is the final results;
+    "host" pulls the f32 solutions to CPU for the f64 polish.  The
+    full-refine fallback for uncertified stragglers runs on CPU either
+    way.
 
     With `polish=True` (default) the f64 phase is the warm-start SQP polish
     (batch/polish.py): fixed-active-set Gauss-Newton KKT steps, ~20x cheaper
@@ -156,12 +199,22 @@ def solve_mixed_precision(
     bulk_max_inner caps the bulk phase's per-subproblem TR iterations
     (the lockstep-tail cap: each chunk's while_loop runs to its slowest
     instance; measured +10-12% at config-2/5 with certified fraction
-    unchanged).  Like bulk_crit_tol it applies only with polish=True —
-    both knobs trade bulk accuracy against the polish phase absorbing
-    the slack, and with polish=False the full refine restarts cold from
-    whatever the bulk produced, so the cap is ignored there rather than
-    silently degrading the only accurate phase.
+    unchanged).  "auto" (default) applies the measured heuristic
+    (`_resolve_bulk_max_inner`: cap 8 for n <= 8 families, off
+    otherwise); pass an int to force a cap or None to disable.  Like
+    bulk_crit_tol it applies only with polish=True — these knobs trade
+    bulk accuracy against the polish phase absorbing the slack, and with
+    polish=False the full refine restarts cold from whatever the bulk
+    produced, so the cap is ignored there rather than silently degrading
+    the only accurate phase.
+
+    bulk_compact may name an outer-iteration horizon (int): the bulk
+    phase then runs `batch.compact.solve_batched_compact` — wide chunks
+    stop at the horizon and only the unconverged tail (gathered into
+    power-of-two buckets) runs the rest of the schedule.  Bit-identical
+    bulk results; pure scheduling.
     """
+    bulk_max_inner = _resolve_bulk_max_inner(bulk_max_inner, X0.shape[-1], polish)
     # Build the f32 working copy on HOST, then ship it to the bulk device in
     # one explicit transfer.  Casting uncommitted f64 arrays directly would
     # dispatch the astype to the default device — on TPU that means emulated
@@ -176,6 +229,9 @@ def solve_mixed_precision(
     if bulk_dev is None:
         cfg_dev = jax.config.jax_default_device
         bulk_dev = cfg_dev if cfg_dev is not None else jax.local_devices()[0]
+    certify = _resolve_certify(
+        certify, X0.shape[0], X0.shape[-1], bulk_dev.platform
+    )
     with jax.default_device(cpu):
         put_h = lambda t: jax.tree.map(lambda a: jax.device_put(a, cpu), t)
         theta_h = put_h(theta)       # host master copy, reused by the f64 phase
@@ -255,7 +311,17 @@ def solve_mixed_precision(
             xu=None if bp32.xu is None else bp32.xu.astype(bulk_dtype),
         )
         X0_b = X0_32.astype(bulk_dtype)
-    if sort_by_difficulty:
+    if bulk_compact is not None:
+        # Converged-instance compaction (SURVEY §7.3-3 / VERDICT r4 #1):
+        # wide chunks stop at the `bulk_compact` outer horizon; the
+        # unconverged tail finishes in narrow power-of-two buckets.
+        from .compact import solve_batched_compact
+
+        X32, _, _ = solve_batched_compact(
+            bp_b, theta_b, X0_b, bulk_opts, chunk=chunk,
+            stage_outer=bulk_compact,
+        )
+    elif sort_by_difficulty:
         from .buckets import solve_batched_sorted
 
         X32, _, _ = solve_batched_sorted(

@@ -225,3 +225,38 @@ def test_bulk_matmul_precision_knob_end_to_end():
     X, Y, info = solve_mixed_precision(
         bp, theta, X0, opts, chunk=32, bulk_matmul_precision="default")
     assert int(jnp.sum(info.converged)) == 32
+
+
+def test_fused_straggler_bucket_compaction():
+    """The fused path's re-polish passes gather at most straggler_bucket
+    lanes (VERDICT r4 #4): with a bucket smaller than the straggler count,
+    round-robin bucketed passes must still serve every straggler, and the
+    result must match a full-width-bucket run."""
+    from benlsip_tpu.batch.polish import sqp_polish_fused
+    from benlsip_tpu.batch.refine import _cast_tree
+    from benlsip_tpu.problems.generators import exp_fit_family
+
+    B = 32
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=13, dtype=jnp.float64)
+    theta32 = _cast_tree(theta, jnp.float32)
+    bp32 = dataclasses.replace(
+        bp, A=bp.A.astype(jnp.float32), b=bp.b.astype(jnp.float32),
+        xl=bp.xl.astype(jnp.float32), xu=bp.xu.astype(jnp.float32))
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    # Cold start far from the solution with a thin step budget: pass 1
+    # leaves a real straggler population for the bucketed passes.
+    X32 = X0.astype(jnp.float32)
+    kw = dict(num_steps=3, refactor_steps=2, rounds=4)
+    X_small, Y_small, ok_small, *_ = sqp_polish_fused(
+        bp32, theta32, X32, bp, theta, opts, straggler_bucket=4, **kw)
+    X_full, Y_full, ok_full, *_ = sqp_polish_fused(
+        bp32, theta32, X32, bp, theta, opts, straggler_bucket=B, **kw)
+    # The bucketed run must not certify FEWER lanes than the full-width
+    # run (every straggler gets its rounds-1 re-polishes either way,
+    # albeit over more passes).
+    assert int(ok_small.sum()) >= int(ok_full.sum()) > 0, (
+        int(ok_small.sum()), int(ok_full.sum()))
+    both = np.asarray(ok_small & ok_full)
+    np.testing.assert_allclose(
+        np.asarray(X_small)[both], np.asarray(X_full)[both],
+        rtol=1e-7, atol=1e-9)

@@ -148,3 +148,47 @@ def test_bulk_max_inner_cap_certifies():
     assert int(jnp.sum(info.converged)) == 32
     X2, Y2, info2 = solve_mixed_precision(bp, theta, X0, opts, chunk=32)
     np.testing.assert_allclose(np.asarray(X), np.asarray(X2), rtol=1e-7, atol=1e-9)
+
+
+def test_auto_policy_resolution():
+    """The measured per-regime policies live in the LIBRARY (VERDICT r4
+    #3), not in bench drivers: pin the certify="auto" and
+    bulk_max_inner="auto" resolution rules."""
+    from benlsip_tpu.batch.refine import (
+        _resolve_bulk_max_inner,
+        _resolve_certify,
+    )
+
+    # certify: accelerator bulk device -> device up to the measured
+    # crossover batch, host beyond it; CPU bulk device -> host always.
+    assert _resolve_certify("auto", 1024, 3, "tpu") == "device"    # config 2
+    assert _resolve_certify("auto", 64, 192, "tpu") == "device"    # config 3
+    assert _resolve_certify("auto", 16384, 3, "tpu") == "host"     # config 5
+    assert _resolve_certify("auto", 1024, 3, "cpu") == "host"
+    # Explicit choices pass through untouched.
+    assert _resolve_certify("host", 64, 192, "tpu") == "host"
+    assert _resolve_certify("device", 16384, 3, "tpu") == "device"
+
+    # bulk_max_inner: measured cap 8 for tiny instances, off for mid-size
+    # (config-3 families need their inner iterations), polish-gated.
+    assert _resolve_bulk_max_inner("auto", 3, True) == 8
+    assert _resolve_bulk_max_inner("auto", 192, True) is None
+    assert _resolve_bulk_max_inner("auto", 3, False) is None
+    assert _resolve_bulk_max_inner(12, 3, True) == 12
+    assert _resolve_bulk_max_inner(None, 3, True) is None
+
+
+def test_auto_policy_end_to_end_cpu():
+    """solve_mixed_precision with all-default (auto) policies certifies
+    the config-2 family end-to-end on CPU."""
+    import jax.numpy as jnp
+
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    B = 32
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=21, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X, Y, info = solve_mixed_precision(bp, theta, X0, opts, chunk=B)
+    assert int(jnp.sum(info.converged)) == B
