@@ -349,3 +349,121 @@ def solve_exp_fit_numpy(theta_t, theta_y, A, b_all, xl, xu, X0, crit_tol=_SQEPS)
         X[i] = xi
         conv += int(info["converged"])
     return X, conv
+
+
+def solve_blocked_numpy(
+    J0, y, A, b, xl, xu, x0, alpha=0.5,
+    crit_tol=_SQEPS, feas_tol=_SQEPS,
+    max_outer=30, max_inner=60, max_cg=200,
+    mu0=10.0, tau=100.0,
+):
+    """Single-core matrix-free baseline for the config-4 blocked workload
+    (VERDICT r4 #5): min ½‖J0·psi(x) − y‖² s.t. Ax = b, xl ≤ x ≤ xu with
+    psi(x) = x + alpha·x³ (problems/generators.blocked_hard_family).
+
+    At n ≈ 10k a dense factorization is 1e12+ flops per step, so the
+    performance-aware single-core formulation is the same mathematics the
+    framework runs: an augmented-Lagrangian outer loop (the reference's
+    LANCELOT schedule, ref `src/basic_tralcnlss.jl:167-298`) around a
+    bound-constrained projected Gauss-Newton/CG inner loop — every hot op
+    a BLAS-2 J0 matvec (2dn flops), no (n, n) matrix ever formed.
+    Certification: exact-projection criticality + feasibility, same
+    oracle as everything else in this repo.
+
+    Returns (x, {"converged", "pix", "feas", "outer", "inner", "cg"}).
+    """
+    x = np.clip(np.asarray(x0, np.float64).copy(), xl, xu)
+    J0 = np.asarray(J0, np.float64)
+    y = np.asarray(y, np.float64)
+    A = np.asarray(A, np.float64)
+    b = np.asarray(b, np.float64)
+    nu = np.zeros(A.shape[0])
+    mu = mu0
+    omega, eta = 1.0 / mu, 1.0 / mu**0.1
+    inner_total = cg_total = 0
+
+    def merit(x):
+        r = J0 @ (x + alpha * x**3) - y
+        e = A @ x - b
+        return 0.5 * r @ r + nu @ e + 0.5 * mu * e @ e
+
+    pix = feas = np.inf
+    outer = 0
+    for outer in range(1, max_outer + 1):
+        # ---- inner: projected GN-CG on the AL to tolerance omega ----
+        for _ in range(max_inner):
+            inner_total += 1
+            dpsi = 1.0 + 3.0 * alpha * x * x
+            r = J0 @ (x + alpha * x**3) - y
+            e = A @ x - b
+            g = dpsi * (J0.T @ r) + A.T @ (nu + mu * e)
+            # Projected-gradient criticality of the AL subproblem.
+            pg = x - np.clip(x - g, xl, xu)
+            if np.linalg.norm(pg) <= max(omega, crit_tol):
+                break
+            on_lo = (x - xl <= 1e-12 * (1 + np.abs(x))) & (g > 0)
+            on_hi = (xu - x <= 1e-12 * (1 + np.abs(x))) & (g < 0)
+            free = ~(on_lo | on_hi)
+
+            def hv(v):
+                vf = np.where(free, v, 0.0)
+                out = dpsi * (J0.T @ (J0 @ (dpsi * vf))) + mu * (A.T @ (A @ vf))
+                return np.where(free, out, 0.0)
+
+            # CG on the free coords, truncated (Steihaug-style on bound
+            # hits is handled by the projected linesearch instead).
+            rhs = np.where(free, -g, 0.0)
+            v = np.zeros_like(x)
+            rr = rhs.copy()
+            p = rr.copy()
+            rs = rr @ rr
+            tol2 = (0.1 * np.sqrt(rs)) ** 2
+            for _cg in range(max_cg):
+                cg_total += 1
+                hp = hv(p)
+                php = p @ hp
+                if php <= 1e-300:
+                    break
+                a_step = rs / php
+                v += a_step * p
+                rr -= a_step * hp
+                rs_new = rr @ rr
+                if rs_new <= tol2:
+                    break
+                p = rr + (rs_new / rs) * p
+                rs = rs_new
+            if np.linalg.norm(v) <= 1e-300:
+                v = rhs  # fall back to projected gradient
+            # Projected backtracking linesearch on the AL merit.
+            m0 = merit(x)
+            t = 1.0
+            for _ls in range(30):
+                xt = np.clip(x + t * v, xl, xu)
+                if merit(xt) <= m0 - 1e-4 * t * abs(g @ v):
+                    break
+                t *= 0.5
+            x = np.clip(x + t * v, xl, xu)
+
+        # ---- outer: multiplier / penalty update ----
+        e = A @ x - b
+        feas = np.linalg.norm(e)
+        r = J0 @ (x + alpha * x**3) - y
+        dpsi = 1.0 + 3.0 * alpha * x * x
+        gL = dpsi * (J0.T @ r) + A.T @ nu
+        pix = np.linalg.norm(project_polyhedron_np(x - gL, A, b, xl, xu) - x)
+        if pix <= crit_tol and feas <= feas_tol:
+            break
+        if feas <= max(eta, feas_tol):
+            nu = nu + mu * e
+            omega, eta = omega / mu, eta / mu**0.9
+        else:
+            mu *= tau
+            omega, eta = 1.0 / mu, 1.0 / mu**0.1
+        omega = max(omega, crit_tol)
+        eta = max(eta, feas_tol)
+
+    return x, {
+        "converged": bool(pix <= crit_tol and feas <= feas_tol),
+        "pix": float(pix), "feas": float(feas),
+        "outer": outer, "inner": inner_total, "cg": cg_total,
+    }

@@ -1023,6 +1023,30 @@ def polish_then_refine(
         Xf, Yf, inf_f = refine_f64(
             bp_f, theta_f, X[idx_p], options, device=fallback_device, chunk=chunk
         )
+        # Stall-restart rescue (the config-5 uncertified-tail root cause,
+        # docs/BENCH_NOTES.md round 5): when the polish warm start is bad
+        # (e.g. a near-degenerate instance whose chord Newton diverged to
+        # a box corner), the fallback refine can over-escalate the penalty
+        # chasing feasibility-from-far and hit the stall exit with mu so
+        # high that the criticality noise floor sits above crit_tol — yet
+        # a RESTART from its own (much improved) output converges in a few
+        # outers with a fresh mu0/tolerance schedule and freshly estimated
+        # multipliers.  One extra pass, only for still-unconverged lanes.
+        bad = ~np.asarray(inf_f.converged)
+        if bad.any():
+            Xf2, Yf2, inf_f2 = refine_f64(
+                bp_f, theta_f, Xf, options, device=fallback_device, chunk=chunk
+            )
+            # Numpy indices, like the scatter below: a jnp index array
+            # would commit to the ambient device and re-mix devices with
+            # the CPU-resident fallback results.
+            sel2 = np.nonzero(bad)[0]
+            Xf = Xf.at[sel2].set(Xf2[sel2])
+            Yf = Yf.at[sel2].set(Yf2[sel2])
+            inf_f = SolveInfo(*[
+                getattr(inf_f, f).at[sel2].set(getattr(inf_f2, f)[sel2])
+                for f in SolveInfo._fields
+            ])
 
         # Numpy indices: under the device ctx a jnp.asarray(idx) would be
         # committed to the accelerator and re-mix devices with the

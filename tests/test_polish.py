@@ -260,3 +260,25 @@ def test_fused_straggler_bucket_compaction():
     np.testing.assert_allclose(
         np.asarray(X_small)[both], np.asarray(X_full)[both],
         rtol=1e-7, atol=1e-9)
+
+
+def test_fallback_stall_restart_rescue():
+    """Config-5 uncertified-tail fixture (round 5, instance 9996 of the
+    seed-7 sweep): a near-degenerate exponential (slow decay => a/b/c
+    collinearity) whose f32 bulk stalls on a wrong point, whose polish
+    chord Newton diverges to a box corner, and whose fallback refine then
+    stalls with an over-escalated penalty.  The one-shot stall-restart
+    rescue in polish_then_refine must certify it."""
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+
+    # Reconstruct the exact instance from the family (cheap) rather than
+    # a transcribed-constant fixture that could drift from the generator.
+    bp, theta, X0 = exp_fit_family(16384, d=32, seed=7, dtype=jnp.float64)
+    i = 9996
+    bp_i = dataclasses.replace(bp, b=bp.b[i : i + 1])
+    th_i = jax.tree.map(lambda a: a[i : i + 1], theta)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    X, Y, info = solve_mixed_precision(bp_i, th_i, X0[i : i + 1], opts, chunk=1)
+    assert bool(info.converged[0]), (float(info.pix[0]), int(info.status[0]))
+    assert float(info.pix[0]) <= 1.5e-8
