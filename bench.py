@@ -179,6 +179,93 @@ def _config3_summary(dev):
     }
 
 
+def _config4_summary(dev, n=10240, d=20480):
+    """Config-4 hardened workload (VERDICT r4 #5): one large NONLINEAR
+    bound-active instance (r(x) = J0·psi(x) − y, psi cubic, ~50% of
+    coordinates active at the solution, 10+ TR iterations with Cauchy
+    breakpoints / minor-loop churn / CG bound-hits — the round-4 linear
+    instance converged in 2 outer / 4 inner and exercised none of that).
+
+    Framework numbers are measured every run; the single-core numpy
+    baseline's FULL-solve wall (20+ min at this scale) is measured by the
+    one-off protocol recorded in BASELINE.md, while a budget-capped
+    baseline run here grounds the per-inner-iteration comparison in the
+    same session.
+    """
+    import numpy as np
+
+    from benlsip_tpu.baselines.kkt_oracle import kkt_check_point
+    from benlsip_tpu.baselines.numpy_ref import solve_blocked_numpy
+    from benlsip_tpu.dist.mesh import make_mesh
+    from benlsip_tpu.dist.sharded import solve_large_blocked_family
+    from benlsip_tpu.problems.generators import blocked_hard_family
+    from benlsip_tpu.solver.options import SolverOptions
+
+    alpha = 1.5
+    bp, theta, x0 = blocked_hard_family(n=n, d=d, seed=0, dtype=jnp.float32)
+    mesh = make_mesh(batch=1, block=1)
+    opts = SolverOptions(max_outer_iter=20, max_inner_iter=60)
+
+    def run():
+        x, yl, info = solve_large_blocked_family(bp, theta, x0, opts, mesh)
+        float(jnp.sum(x))  # true fence through the relay
+        return x, info
+
+    x, info = run()  # warmup/compile
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x, info = run()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    inner = int(info.inner_iters)
+
+    # Independent oracle at f32 grade (config-4 runs f32 on chip: the f64
+    # full solver faults on this TPU stack — docs/BENCH_NOTES.md).
+    xn = np.asarray(x, np.float64)
+    J0 = np.asarray(theta["J"], np.float64)
+    y64 = np.asarray(theta["y"], np.float64)
+    dpsi = 1.0 + 3 * alpha * xn * xn
+    r = J0 @ (xn + alpha * xn**3) - y64
+    orc = kkt_check_point(
+        xn, r, J0 * dpsi[None, :], None, None,
+        np.asarray(bp.A, np.float64), np.asarray(bp.b, np.float64),
+        np.asarray(bp.xl, np.float64), np.asarray(bp.xu, np.float64),
+        stat_tol=5e-4, feas_tol=5e-4,
+    )
+    act = float(
+        ((xn - np.asarray(bp.xl) < 1e-6) | (np.asarray(bp.xu) - xn < 1e-6)).mean()
+    )
+
+    # Budget-capped single-core baseline on the SAME instance: per-inner
+    # cost measured live (full-solve wall: BASELINE.md one-off protocol).
+    t0 = time.perf_counter()
+    _, st = solve_blocked_numpy(
+        J0, y64, np.asarray(bp.A, np.float64), np.asarray(bp.b, np.float64),
+        np.asarray(bp.xl, np.float64), np.asarray(bp.xu, np.float64),
+        np.asarray(x0, np.float64), alpha=alpha, max_outer=1, max_inner=5,
+    )
+    np_wall = time.perf_counter() - t0
+    return {
+        "config4_case": f"blocked_hard_n{n}_d{d}",
+        "config4_wall_s": round(wall, 2),
+        "config4_converged": bool(info.converged),
+        "config4_outer": int(info.outer_iters),
+        "config4_inner": inner,
+        "config4_minor": int(info.minor_iters),
+        "config4_cg": int(info.cg_iters),
+        "config4_sec_per_inner_iter": round(wall / max(inner, 1), 4),
+        "config4_pix": float(info.pix),
+        "config4_active_frac": round(act, 3),
+        "config4_oracle_ok": bool(orc["ok"]),
+        "config4_oracle_grade": "f32 (sqrt(eps(f32)) tolerances; f64 solver faults on this TPU stack)",
+        "config4_baseline_sec_per_inner_iter": round(np_wall / max(st["inner"], 1), 3),
+        "config4_vs_baseline_per_inner": round(
+            (np_wall / max(st["inner"], 1)) / (wall / max(inner, 1)), 1
+        ),
+    }
+
+
 def _config5_summary(dev, B=16384):
     """Config-5 sweep rate + measured numpy baseline on ITS instances."""
     import numpy as np
@@ -313,6 +400,10 @@ def main():
         extra.update(_config5_summary(dev))
     except Exception as e:  # pragma: no cover
         extra["config5_error"] = repr(e)[:200]
+    try:
+        extra.update(_config4_summary(dev))
+    except Exception as e:  # pragma: no cover
+        extra["config4_error"] = repr(e)[:200]
 
     # Headline = the faster of the two certification pipelines (same
     # workload, same f64 KKT certification either way); both are reported.

@@ -215,11 +215,11 @@ def blocked_hard_family(
     d: int = 20480,
     seed: int = 0,
     dtype=jnp.float32,
-    alpha: float = 0.5,
+    alpha: float = 1.5,
     m: int = 8,
     bound: float = 0.8,
-    spread: float = 1.3,
-    noise: float = 1e-3,
+    spread: float = 1.6,
+    noise: float = 1e-2,
 ):
     """Hardened BASELINE config-4 workload (VERDICT r4 #5): one large
     NONLINEAR bound-active instance for the blocked-Jacobian path.
