@@ -263,6 +263,12 @@ def _config4_summary(dev, n=10240, d=20480):
         "config4_vs_baseline_per_inner": round(
             (np_wall / max(st["inner"], 1)) / (wall / max(inner, 1)), 1
         ),
+        # Full-solve baseline wall from the one-off protocol (same
+        # instance/seed, solve_blocked_numpy to f64 KKT grade on this
+        # host: 181.0 s, 6 outer / 55 inner / 539 CG — bench_results.jsonl
+        # row config4_hard_numpy_baseline_full, BASELINE.md).
+        "config4_baseline_full_wall_s_recorded": 181.0,
+        "config4_vs_baseline": round(181.0 / wall, 1),
     }
 
 
