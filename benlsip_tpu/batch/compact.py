@@ -109,7 +109,17 @@ def _stage_runner(fns_key, opts: SolverOptions, poly_axes_key, stage_outer, atol
         ).instance_fns(theta_i)
         return _stage_one(fns, poly_i, x0_i, opts, atol, stage_outer)
 
-    return jax.jit(jax.vmap(one, in_axes=(0, 0, Polyhedron(*poly_axes_key))))
+    def run(theta, X0, poly):
+        carry, X, Y, info = jax.vmap(
+            one, in_axes=(0, 0, Polyhedron(*poly_axes_key))
+        )(theta, X0, poly)
+        # One in-program done predicate: the host pulls a single bool
+        # array instead of three carry fields (each D2H through the relay
+        # has a ~35 ms latency floor — docs/BENCH_NOTES.md).
+        done = jax.vmap(lambda c: outer_done(c, opts))(carry)
+        return carry, X, Y, info, done
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=128)
@@ -124,6 +134,23 @@ def _continue_runner(fns_key, opts: SolverOptions, poly_axes_key, atol):
         return _continue_one(fns, poly_i, carry_i, opts, atol)
 
     return jax.jit(jax.vmap(one, in_axes=(0, Polyhedron(*poly_axes_key), 0)))
+
+
+@functools.lru_cache(maxsize=8)
+def _gather_fn():
+    """One jitted gather for a whole pytree: 1 dispatch instead of one
+    eager device op per leaf (~10 ms each through the relay)."""
+    return jax.jit(lambda tree, idx: jax.tree.map(lambda a: a[idx], tree))
+
+
+@functools.lru_cache(maxsize=8)
+def _scatter_fn():
+    """One jitted scatter-merge for a whole pytree (see _gather_fn)."""
+    return jax.jit(
+        lambda full, part, idx: jax.tree.map(
+            lambda f, p: f.at[idx].set(p), full, part
+        )
+    )
 
 
 def _slice_poly(bp: BatchedProblem, fn):
@@ -203,30 +230,31 @@ def solve_batched_compact(
             out = jax.tree.map(lambda a: a[:size], out)
         outs.append(out)
         i = j
-    carry, X, Y, info = jax.tree.map(
+    carry, X, Y, info, done_d = jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0), *outs
     )
 
-    # Compact: survivors = lanes the full-schedule predicate still wants.
-    crit = np.asarray(carry.critical)
-    outer = np.asarray(carry.outer)
-    stall = np.asarray(carry.stall)
-    done = crit | (outer > opts.max_outer_iter) | (stall >= opts.outer_stall_window)
-    idx = np.nonzero(~done)[0]
+    # Compact: survivors = lanes the full-schedule predicate still wants
+    # (one packed D2H pull of the in-program done mask).
+    idx = np.nonzero(~np.asarray(done_d))[0]
 
-    # Stage B: survivor buckets resume to convergence; scatter back.
+    # Stage B: survivor buckets resume to convergence; scatter back.  The
+    # gathers/scatters run as ONE jitted call each — per-leaf eager ops
+    # cost a relay dispatch apiece (~30 of them measured +0.35 s on the
+    # first on-chip run of this module).
+    gather, scatter = _gather_fn(), _scatter_fn()
+    batched_poly = {
+        f: getattr(poly, f)
+        for f in Polyhedron._fields
+        if getattr(poly, f).ndim > getattr(_POLY_BASE_RANK, f)
+    }
     for bidx in _survivor_buckets(idx, cap):
-        poly_b = _slice_poly(bp, lambda a: a[bidx]).polyhedron(n, dtype)
-        Xb, Yb, ib = cont(
-            jax.tree.map(lambda a: a[bidx], theta),
-            poly_b,
-            jax.tree.map(lambda a: a[bidx], carry),
-        )
-        # Duplicate pad indices write identical values.
-        X = X.at[bidx].set(Xb)
-        Y = Y.at[bidx].set(Yb)
-        info = SolveInfo(*[
-            getattr(info, f).at[bidx].set(getattr(ib, f))
-            for f in SolveInfo._fields
+        bidx_j = jnp.asarray(bidx)
+        theta_b, carry_b, bpoly_b = gather((theta, carry, batched_poly), bidx_j)
+        poly_b = Polyhedron(*[
+            bpoly_b.get(f, getattr(poly, f)) for f in Polyhedron._fields
         ])
+        Xb, Yb, ib = cont(theta_b, poly_b, carry_b)
+        # Duplicate pad indices write identical values.
+        X, Y, info = scatter((X, Y, info), (Xb, Yb, ib), bidx_j)
     return X, Y, info
