@@ -612,12 +612,13 @@ def sqp_polish_split(
 
 
 @functools.lru_cache(maxsize=128)
-def _fused_polish_runner(fns_key32, fns_key64, poly_axes_key, num_steps, active_tol,
-                         reg, crit_tol, feas_tol, refactor_steps, rounds, p,
-                         straggler_bucket):
-    """One-dispatch device certification: f32 QR factor phase + f64 chord +
-    certify, with bucketed straggler re-polish passes inside the same
-    jitted program.
+def _fused_polish_core(fns_key32, fns_key64, poly_axes_key, num_steps, active_tol,
+                       reg, crit_tol, feas_tol, refactor_steps, rounds, p,
+                       straggler_bucket):
+    """Traceable core of the one-dispatch device certification: f32 QR
+    factor phase + f64 chord + certify, with bucketed straggler re-polish
+    passes — returned UNJITTED so larger fused programs (the whole-
+    pipeline fusion in batch/fused_small.py) can inline it.
 
     The host-driven device path paid one relay dispatch per polish phase
     plus a device→host sync per round to decide whether to re-polish;
@@ -734,7 +735,13 @@ def _fused_polish_runner(fns_key32, fns_key64, poly_axes_key, num_steps, active_
             _, x, y, ok, pix, feas, obj, _ = jax.lax.while_loop(cond, body, st)
         return x, y, ok, pix, feas, obj
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=128)
+def _fused_polish_runner(*key):
+    """Jitted wrapper of `_fused_polish_core` (same cache key)."""
+    return jax.jit(_fused_polish_core(*key))
 
 
 def sqp_polish_fused(
@@ -997,63 +1004,80 @@ def polish_then_refine(
         )
         if ok_h.all():
             return X, Y, info
-
-        # Fallback: full f64 refine on the uncertified instances, warm-started
-        # from the polished points (strictly better than X32).
-        idx, k, idx_p = _gather_uncertified(ok_h, fallback_pad, B)
-        if use_fused:
-            # The fused path's accumulators are device-resident; the
-            # fallback merge below scatters CPU results into them, which
-            # jit rejects as a cross-device computation.  Results leave
-            # for the host after this function anyway — pull them now.
-            host = local_cpu()
-            X, Y = jax.device_put(X, host), jax.device_put(Y, host)
-            info = SolveInfo(*[
-                jax.device_put(getattr(info, f), host) for f in SolveInfo._fields
-            ])
-            theta64 = jax.tree.map(lambda a: jax.device_put(a, host), theta64)
-            bp64 = dataclasses.replace(bp64, **{
-                f: jax.device_put(getattr(bp64, f), host)
-                for f in ("A", "b", "xl", "xu") if getattr(bp64, f) is not None
-            })
-        bp_f, theta_f = _take_batched(bp64, theta64, idx_p)
-        # The full-refine fallback stays on its own device (CPU by default):
-        # the complete f64 solver program faults on the TPU runtime even
-        # where the small polish program runs (docs/BENCH_NOTES.md).
-        Xf, Yf, inf_f = refine_f64(
-            bp_f, theta_f, X[idx_p], options, device=fallback_device, chunk=chunk
+        return fallback_full_refine(
+            bp64, theta64, X, Y, info, options, fallback_pad, chunk,
+            fallback_device, migrate_to_host=use_fused,
         )
-        # Stall-restart rescue (the config-5 uncertified-tail root cause,
-        # docs/BENCH_NOTES.md round 5): when the polish warm start is bad
-        # (e.g. a near-degenerate instance whose chord Newton diverged to
-        # a box corner), the fallback refine can over-escalate the penalty
-        # chasing feasibility-from-far and hit the stall exit with mu so
-        # high that the criticality noise floor sits above crit_tol — yet
-        # a RESTART from its own (much improved) output converges in a few
-        # outers with a fresh mu0/tolerance schedule and freshly estimated
-        # multipliers.  One extra pass, only for still-unconverged lanes.
-        bad = ~np.asarray(inf_f.converged)
-        if bad.any():
-            Xf2, Yf2, inf_f2 = refine_f64(
-                bp_f, theta_f, Xf, options, device=fallback_device, chunk=chunk
-            )
-            # Numpy indices, like the scatter below: a jnp index array
-            # would commit to the ambient device and re-mix devices with
-            # the CPU-resident fallback results.
-            sel2 = np.nonzero(bad)[0]
-            Xf = Xf.at[sel2].set(Xf2[sel2])
-            Yf = Yf.at[sel2].set(Yf2[sel2])
-            inf_f = SolveInfo(*[
-                getattr(inf_f, f).at[sel2].set(getattr(inf_f2, f)[sel2])
-                for f in SolveInfo._fields
-            ])
 
-        # Numpy indices: under the device ctx a jnp.asarray(idx) would be
-        # committed to the accelerator and re-mix devices with the
-        # CPU-resident fallback results.
-        X = X.at[idx].set(Xf[:k])
-        Y = Y.at[idx].set(Yf[:k])
+
+def fallback_full_refine(
+    bp64, theta64, X, Y, info: SolveInfo, options, fallback_pad, chunk,
+    fallback_device, migrate_to_host: bool,
+):
+    """Full-f64-refine fallback for uncertified lanes (`info.converged`):
+    gather into padded buckets, refine, apply the stall-restart rescue,
+    scatter back.  Shared by `polish_then_refine` and the whole-pipeline
+    fusion (`batch/fused_small.py`)."""
+    from .refine import refine_f64
+
+    ok_h = np.asarray(info.converged)
+    B = X.shape[0]
+    # Fallback: full f64 refine on the uncertified instances, warm-started
+    # from the polished points (strictly better than the bulk output).
+    idx, k, idx_p = _gather_uncertified(ok_h, fallback_pad, B)
+    if migrate_to_host:
+        # The fused path's accumulators are device-resident; the
+        # fallback merge below scatters CPU results into them, which
+        # jit rejects as a cross-device computation.  Results leave
+        # for the host after this function anyway — pull them now.
+        host = local_cpu()
+        X, Y = jax.device_put(X, host), jax.device_put(Y, host)
         info = SolveInfo(*[
-            getattr(info, f).at[idx].set(getattr(inf_f, f)[:k]) for f in SolveInfo._fields
+            jax.device_put(getattr(info, f), host) for f in SolveInfo._fields
         ])
-        return X, Y, info
+        theta64 = jax.tree.map(lambda a: jax.device_put(a, host), theta64)
+        bp64 = dataclasses.replace(bp64, **{
+            f: jax.device_put(getattr(bp64, f), host)
+            for f in ("A", "b", "xl", "xu") if getattr(bp64, f) is not None
+        })
+    bp_f, theta_f = _take_batched(bp64, theta64, idx_p)
+    # The full-refine fallback stays on its own device (CPU by default):
+    # the complete f64 solver program faults on the TPU runtime even
+    # where the small polish program runs (docs/BENCH_NOTES.md).
+    Xf, Yf, inf_f = refine_f64(
+        bp_f, theta_f, X[idx_p], options, device=fallback_device, chunk=chunk
+    )
+    # Stall-restart rescue (the config-5 uncertified-tail root cause,
+    # docs/BENCH_NOTES.md round 5): when the polish warm start is bad
+    # (e.g. a near-degenerate instance whose chord Newton diverged to
+    # a box corner), the fallback refine can over-escalate the penalty
+    # chasing feasibility-from-far and hit the stall exit with mu so
+    # high that the criticality noise floor sits above crit_tol — yet
+    # a RESTART from its own (much improved) output converges in a few
+    # outers with a fresh mu0/tolerance schedule and freshly estimated
+    # multipliers.  One extra pass, only for still-unconverged lanes.
+    bad = ~np.asarray(inf_f.converged)
+    if bad.any():
+        Xf2, Yf2, inf_f2 = refine_f64(
+            bp_f, theta_f, Xf, options, device=fallback_device, chunk=chunk
+        )
+        # Numpy indices, like the scatter below: a jnp index array
+        # would commit to the ambient device and re-mix devices with
+        # the CPU-resident fallback results.
+        sel2 = np.nonzero(bad)[0]
+        Xf = Xf.at[sel2].set(Xf2[sel2])
+        Yf = Yf.at[sel2].set(Yf2[sel2])
+        inf_f = SolveInfo(*[
+            getattr(inf_f, f).at[sel2].set(getattr(inf_f2, f)[sel2])
+            for f in SolveInfo._fields
+        ])
+
+    # Numpy indices: under a device ctx a jnp.asarray(idx) would be
+    # committed to the accelerator and re-mix devices with the
+    # CPU-resident fallback results.
+    X = X.at[idx].set(Xf[:k])
+    Y = Y.at[idx].set(Yf[:k])
+    info = SolveInfo(*[
+        getattr(info, f).at[idx].set(getattr(inf_f, f)[:k]) for f in SolveInfo._fields
+    ])
+    return X, Y, info

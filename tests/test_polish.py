@@ -282,3 +282,23 @@ def test_fallback_stall_restart_rescue():
     X, Y, info = solve_mixed_precision(bp_i, th_i, X0[i : i + 1], opts, chunk=1)
     assert bool(info.converged[0]), (float(info.pix[0]), int(info.status[0]))
     assert float(info.pix[0]) <= 1.5e-8
+
+
+def test_whole_pipeline_fusion_parity():
+    """solve_small_fused (one-dispatch bulk+certify, batch/fused_small.py)
+    certifies the config-2 family end-to-end and matches the standard
+    device-certify pipeline's solutions."""
+    from benlsip_tpu.batch.fused_small import solve_small_fused
+    from benlsip_tpu.batch.refine import solve_mixed_precision
+    from benlsip_tpu.problems.generators import exp_fit_family
+
+    B = 48
+    bp, theta, X0 = exp_fit_family(B, d=32, seed=17, dtype=jnp.float64)
+    opts = SolverOptions(max_outer_iter=40, max_inner_iter=120)
+    Xf, Yf, inf_f = solve_small_fused(bp, theta, X0, opts, chunk=16)
+    assert int(inf_f.converged.sum()) == B, (
+        int(inf_f.converged.sum()), float(inf_f.pix.max()))
+    assert float(inf_f.pix.max()) <= 1.5e-8
+    X, Y, info = solve_mixed_precision(
+        bp, theta, X0, opts, chunk=16, certify="device", bulk_max_inner=8)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(X), rtol=1e-6, atol=1e-8)
