@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 
 def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="auto",
-                   bulk_max_inner="auto", bulk_compact=None):
+                   bulk_max_inner="auto", bulk_compact=None, fuse="auto"):
     """Mixed-precision pipeline: f32 bulk on `device`, f64 refine on CPU.
 
     Master f64 data stays host-resident (the production layout); the
@@ -56,7 +56,7 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="auto",
     # and TPU compiles through the tunnel are the bench's scarce resource.
     X, Y, info = solve_mixed_precision(
         bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify,
-        bulk_max_inner=bulk_max_inner, bulk_compact=bulk_compact,
+        bulk_max_inner=bulk_max_inner, bulk_compact=bulk_compact, fuse=fuse,
     )
     float(jnp.sum(X))  # true fence: block_until_ready is a no-op via the relay
     # Best of 3 timed reps: the socket tunnel to the chip adds 20-60% wall
@@ -67,7 +67,7 @@ def _time_pipeline(bp, theta, X0, opts, device, chunk=512, certify="auto",
         t0 = time.perf_counter()
         X, Y, info = solve_mixed_precision(
             bp, theta, X0, opts, chunk=chunk, bulk_device=device, certify=certify,
-            bulk_max_inner=bulk_max_inner, bulk_compact=bulk_compact,
+            bulk_max_inner=bulk_max_inner, bulk_compact=bulk_compact, fuse=fuse,
         )
         float(jnp.sum(X))
         walls.append(time.perf_counter() - t0)
@@ -290,7 +290,8 @@ def _config5_summary(dev, B=16384):
     # straggler-bucket compaction at sweep scale (the pre-compaction
     # device path lost 3x here; this row measures whether the fix flips
     # the auto threshold).
-    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device")
+    dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device",
+                                        fuse=False)
     # No-compaction comparison row (the headline's auto resolves to the
     # horizon-2 compacted bulk at this scale: measured +16% on chip).
     dt_k, conv_k, _, _ = _time_pipeline(bp, theta, X0, opts, dev, bulk_compact=None)
@@ -342,9 +343,15 @@ def main():
                                               certify="host")
     rate = conv_b / dt_b
 
-    # certify="auto" (resolves to the fused device certification here).
+    # certify="auto" resolves to device here, and fuse="auto" engages the
+    # whole-pipeline fusion (batch/fused_small.py: ONE dispatch from f32
+    # bulk to certified f64 — measured +36% over the chunk-dispatched
+    # device path same-session).
     dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev)
     rate_dev = conv_d / dt_d
+    # Unfused device-certify comparison row.
+    dt_u, conv_u, _, _ = _time_pipeline(bp, theta, X0, opts, dev,
+                                        certify="device", fuse=False)
 
     # Converged-instance compaction (VERDICT r4 #1): wide chunks stop at
     # the outer horizon 2 (p99 of the family's outer distribution is 3);
@@ -430,6 +437,8 @@ def main():
                 "device_certify_rate": round(rate_dev, 2),
                 "device_certify_wall_s": round(dt_d, 3),
                 "device_certify_converged_frac": round(conv_d / B, 4),
+                "device_certify_path": "fused (one-dispatch bulk+certify)",
+                "device_unfused_rate": round(conv_u / dt_u, 2),
                 **compact_row,
                 "baseline": "tight single-core numpy AL-LM solver, same workload + KKT oracle (Julia unavailable; see BASELINE.md)",
                 "baseline_rate": round(np_rate, 2),

@@ -140,6 +140,33 @@ def _resolve_bulk_compact(bulk_compact, B: int, chunk: int, polish: bool):
     return 2 if (polish and B >= 16 * chunk) else None
 
 
+def _resolve_fuse(fuse, n, polish, sort_by_difficulty, pipeline_overlap,
+                  bulk_dtype, bulk_matmul_precision, bulk_compact,
+                  bulk_crit_tol):
+    """Resolve fuse="auto": whole-pipeline fusion (batch/fused_small.py —
+    ONE dispatch from f32 bulk to certified f64) measured +36% over the
+    chunk-dispatched device path at config-2 (11,253 vs 8,258/s
+    same-session best-of-4) — the saved relay dispatches and host syncs.
+    It LOSES at config-3 shape (303 vs 352/s same-session: at n=192 the
+    bulk is compute-heavy, dispatch overhead is a small fraction, and the
+    mega-program schedules worse), so "auto" engages it only for the
+    tiny-instance families (n <= 8, the dispatch-floor regime) where the
+    device certification is the resolved fast path and every bulk knob
+    sits at a fused-covered default."""
+    if fuse != "auto":
+        return fuse
+    return (
+        polish
+        and n <= 8
+        and not sort_by_difficulty
+        and not pipeline_overlap
+        and jnp.dtype(bulk_dtype) == jnp.dtype(jnp.float32)
+        and bulk_matmul_precision is None
+        and bulk_compact is None
+        and bulk_crit_tol is not None
+    )
+
+
 def solve_mixed_precision(
     bp: BatchedProblem,
     theta,
@@ -159,6 +186,7 @@ def solve_mixed_precision(
     bulk_matmul_precision: Optional[str] = None,
     bulk_max_inner="auto",
     bulk_compact="auto",
+    fuse: str = "auto",
 ) -> Tuple[Array, Array, SolveInfo]:
     """f32 bulk solve (ambient device) + f64 refinement; returns f64 results.
 
@@ -233,6 +261,10 @@ def solve_mixed_precision(
     bulk_compact = _resolve_bulk_compact(
         bulk_compact, X0.shape[0], min(chunk, X0.shape[0]), polish
     )
+    fuse = _resolve_fuse(
+        fuse, X0.shape[-1], polish, sort_by_difficulty, pipeline_overlap,
+        bulk_dtype, bulk_matmul_precision, bulk_compact, bulk_crit_tol,
+    )
     # Build the f32 working copy on HOST, then ship it to the bulk device in
     # one explicit transfer.  Casting uncommitted f64 arrays directly would
     # dispatch the astype to the default device — on TPU that means emulated
@@ -250,6 +282,14 @@ def solve_mixed_precision(
     certify = _resolve_certify(
         certify, X0.shape[0], X0.shape[-1], bulk_dev.platform
     )
+    if fuse is True and certify == "device":
+        from .fused_small import solve_small_fused
+
+        return solve_small_fused(
+            bp, theta, X0, options, chunk=chunk, polish_steps=polish_steps,
+            bulk_crit_tol=bulk_crit_tol, bulk_max_inner=bulk_max_inner,
+            bulk_device=bulk_dev, fallback_device=refine_device,
+        )
     with jax.default_device(cpu):
         put_h = lambda t: jax.tree.map(lambda a: jax.device_put(a, cpu), t)
         theta_h = put_h(theta)       # host master copy, reused by the f64 phase

@@ -300,5 +300,6 @@ def test_whole_pipeline_fusion_parity():
         int(inf_f.converged.sum()), float(inf_f.pix.max()))
     assert float(inf_f.pix.max()) <= 1.5e-8
     X, Y, info = solve_mixed_precision(
-        bp, theta, X0, opts, chunk=16, certify="device", bulk_max_inner=8)
+        bp, theta, X0, opts, chunk=16, certify="device", bulk_max_inner=8,
+        fuse=False)
     np.testing.assert_allclose(np.asarray(Xf), np.asarray(X), rtol=1e-6, atol=1e-8)

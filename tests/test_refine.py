@@ -205,3 +205,25 @@ def test_auto_bulk_compact_policy():
     assert _resolve_bulk_compact("auto", 16384, 512, False) is None
     assert _resolve_bulk_compact(3, 1024, 512, True) == 3
     assert _resolve_bulk_compact(None, 16384, 512, True) is None
+
+
+def test_auto_fuse_policy():
+    """fuse='auto' engages the whole-pipeline fusion only when device
+    certification is the resolved path and every bulk knob is at a
+    fused-covered default (round 5: +36% measured at config-2)."""
+    import jax.numpy as jnp
+
+    from benlsip_tpu.batch.refine import _resolve_fuse
+
+    base = dict(n=3, polish=True, sort_by_difficulty=False,
+                pipeline_overlap=False, bulk_dtype=jnp.float32,
+                bulk_matmul_precision=None, bulk_compact=None,
+                bulk_crit_tol=1e-2)
+    assert _resolve_fuse("auto", **base) is True
+    assert _resolve_fuse("auto", **{**base, "n": 192}) is False  # config 3: measured loss
+    assert _resolve_fuse("auto", **{**base, "polish": False}) is False
+    assert _resolve_fuse("auto", **{**base, "bulk_compact": 2}) is False
+    assert _resolve_fuse("auto", **{**base, "bulk_matmul_precision": "default"}) is False
+    assert _resolve_fuse("auto", **{**base, "bulk_crit_tol": None}) is False
+    assert _resolve_fuse(False, **base) is False
+    assert _resolve_fuse(True, **{**base, "polish": False}) is True
