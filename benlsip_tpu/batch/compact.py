@@ -56,7 +56,8 @@ from ..solver.outer import (
     outer_init,
 )
 from ..solver.subproblem import linear_gram_cache
-from .vmap_solve import _POLY_BASE_RANK, BatchedProblem, poly_batch_axes
+from .vmap_solve import (_POLY_BASE_RANK, BatchedProblem, map_poly_fields,
+                         poly_batch_axes)
 
 Array = jax.Array
 
@@ -153,16 +154,6 @@ def _scatter_fn():
     )
 
 
-def _slice_poly(bp: BatchedProblem, fn):
-    upd = {
-        f: fn(getattr(bp, f))
-        for f in ("A", "b", "xl", "xu")
-        if getattr(bp, f) is not None
-        and getattr(bp, f).ndim > getattr(_POLY_BASE_RANK, f)
-    }
-    return dataclasses.replace(bp, **upd) if upd else bp
-
-
 def _survivor_buckets(idx: np.ndarray, cap: int):
     """Pad survivor indices to a power-of-two bucket (≤ cap), then split
     into bucket-sized slices — the compile-shape discipline of
@@ -224,7 +215,7 @@ def solve_batched_compact(
             grab = lambda a: jnp.concatenate(
                 [a[sl], jnp.repeat(a[sl][:1], psize - size, axis=0)], axis=0
             )
-        poly_c = _slice_poly(bp, grab).polyhedron(n, dtype)
+        poly_c = map_poly_fields(bp, grab).polyhedron(n, dtype)
         out = stage(jax.tree.map(grab, theta), grab(X0), poly_c)
         if psize != size:
             out = jax.tree.map(lambda a: a[:size], out)

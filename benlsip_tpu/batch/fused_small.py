@@ -116,6 +116,9 @@ def solve_small_fused(
     if bulk_dev is None:
         cfg_dev = jax.config.jax_default_device
         bulk_dev = cfg_dev if cfg_dev is not None else jax.local_devices()[0]
+    if isinstance(bulk_dev, str):
+        # Platform-name strings are legal default_device values; normalize.
+        bulk_dev = jax.local_devices(backend=bulk_dev)[0]
 
     # Host-side f32/f64 master prep (same discipline as
     # solve_mixed_precision: cast on host, ship packed).
@@ -170,7 +173,7 @@ def solve_small_fused(
         fns_key, fns_key, poly_batch_axes(poly32),
         bulk_opts, min(chunk, X0.shape[0]), polish_key,
     )
-    with jax.default_device(bulk_dev if bulk_dev != cpu else cpu):
+    with jax.default_device(bulk_dev):
         X, Y, ok, pix, feas, obj = run(theta32_d, X0_32, poly32, theta64_d, poly64)
         B = X.shape[0]
         info = SolveInfo(

@@ -1058,17 +1058,22 @@ def fallback_full_refine(
     # multipliers.  One extra pass, only for still-unconverged lanes.
     bad = ~np.asarray(inf_f.converged)
     if bad.any():
+        # Gather ONLY the stalled lanes (padded bucket, same discipline
+        # as the fallback gather itself): the common case is ~1 straggler
+        # in a fallback_pad-wide bucket, and re-refining the whole bucket
+        # would pay the full f64 solver on every lane to rescue one.
+        sel2, k2, sel2_p = _gather_uncertified(~bad, fallback_pad, len(bad))
+        bp_r, theta_r = _take_batched(bp_f, theta_f, sel2_p)
         Xf2, Yf2, inf_f2 = refine_f64(
-            bp_f, theta_f, Xf, options, device=fallback_device, chunk=chunk
+            bp_r, theta_r, Xf[sel2_p], options, device=fallback_device, chunk=chunk
         )
         # Numpy indices, like the scatter below: a jnp index array
         # would commit to the ambient device and re-mix devices with
         # the CPU-resident fallback results.
-        sel2 = np.nonzero(bad)[0]
-        Xf = Xf.at[sel2].set(Xf2[sel2])
-        Yf = Yf.at[sel2].set(Yf2[sel2])
+        Xf = Xf.at[sel2].set(Xf2[:k2])
+        Yf = Yf.at[sel2].set(Yf2[:k2])
         inf_f = SolveInfo(*[
-            getattr(inf_f, f).at[sel2].set(getattr(inf_f2, f)[sel2])
+            getattr(inf_f, f).at[sel2].set(getattr(inf_f2, f)[:k2])
             for f in SolveInfo._fields
         ])
 

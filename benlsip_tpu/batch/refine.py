@@ -126,7 +126,8 @@ def _resolve_bulk_max_inner(bulk_max_inner, n: int, polish: bool):
     return 8 if (polish and n <= 8) else None
 
 
-def _resolve_bulk_compact(bulk_compact, B: int, chunk: int, polish: bool):
+def _resolve_bulk_compact(bulk_compact, B: int, chunk: int, polish: bool,
+                          sort_by_difficulty: bool = False):
     """Resolve bulk_compact="auto": converged-instance compaction pays
     when the sweep spans many lockstep chunks (measured on chip: +16% at
     B = 16,384 / chunk = 512, where 32 wide chunks each stop at the
@@ -137,6 +138,11 @@ def _resolve_bulk_compact(bulk_compact, B: int, chunk: int, polish: bool):
     """
     if bulk_compact != "auto":
         return bulk_compact
+    # An explicitly requested sorted-bucket bulk must not be silently
+    # overridden by the auto policy (compaction takes precedence over
+    # sorting in the dispatch chain below).
+    if sort_by_difficulty:
+        return None
     return 2 if (polish and B >= 16 * chunk) else None
 
 
@@ -259,7 +265,8 @@ def solve_mixed_precision(
     """
     bulk_max_inner = _resolve_bulk_max_inner(bulk_max_inner, X0.shape[-1], polish)
     bulk_compact = _resolve_bulk_compact(
-        bulk_compact, X0.shape[0], min(chunk, X0.shape[0]), polish
+        bulk_compact, X0.shape[0], min(chunk, X0.shape[0]), polish,
+        sort_by_difficulty,
     )
     fuse = _resolve_fuse(
         fuse, X0.shape[-1], polish, sort_by_difficulty, pipeline_overlap,
@@ -279,6 +286,10 @@ def solve_mixed_precision(
     if bulk_dev is None:
         cfg_dev = jax.config.jax_default_device
         bulk_dev = cfg_dev if cfg_dev is not None else jax.local_devices()[0]
+    if isinstance(bulk_dev, str):
+        # jax.default_device accepts platform-name strings; normalize to a
+        # Device so .platform and device comparisons below are valid.
+        bulk_dev = jax.local_devices(backend=bulk_dev)[0]
     certify = _resolve_certify(
         certify, X0.shape[0], X0.shape[-1], bulk_dev.platform
     )
@@ -408,16 +419,9 @@ def solve_mixed_precision(
 
 def _slice_batched(bp: BatchedProblem, theta, sl):
     """Slice theta and any per-instance polyhedron fields to a chunk."""
-    from .vmap_solve import _POLY_BASE_RANK
+    from .vmap_solve import map_poly_fields
 
-    upd = {
-        f: getattr(bp, f)[sl]
-        for f in ("A", "b", "xl", "xu")
-        if getattr(bp, f) is not None
-        and getattr(bp, f).ndim > getattr(_POLY_BASE_RANK, f)
-    }
-    bp_c = dataclasses.replace(bp, **upd) if upd else bp
-    return bp_c, jax.tree.map(lambda a: a[sl], theta)
+    return map_poly_fields(bp, lambda a: a[sl]), jax.tree.map(lambda a: a[sl], theta)
 
 
 def _overlapped_pipeline(

@@ -91,6 +91,20 @@ def poly_batch_axes(poly: Polyhedron) -> tuple:
     )
 
 
+def map_poly_fields(bp: "BatchedProblem", fn) -> "BatchedProblem":
+    """Apply fn to the constraint fields (A/b/xl/xu) that carry a batch
+    axis; shared fields pass through.  THE single slicing helper for
+    chunked/gathered sub-batches (used by the chunked solve, the
+    mixed-precision pipeline, and the compaction driver)."""
+    upd = {
+        f: fn(getattr(bp, f))
+        for f in ("A", "b", "xl", "xu")
+        if getattr(bp, f) is not None
+        and getattr(bp, f).ndim > getattr(_POLY_BASE_RANK, f)
+    }
+    return dataclasses.replace(bp, **upd) if upd else bp
+
+
 @functools.lru_cache(maxsize=128)
 def _batched_runner(fns_key, options: SolverOptions, poly_axes_key, jit: bool):
     """Build (and cache) the jitted vmapped solve for one problem family.
@@ -162,16 +176,6 @@ def solve_batched_chunked(
     chunk = min(chunk, B)
     tail = B % chunk
     n_full = B // chunk
-
-    def map_poly_fields(bp_, fn):
-        """Apply fn to the constraint fields that carry a batch axis."""
-        upd = {
-            f: fn(getattr(bp_, f))
-            for f in ("A", "b", "xl", "xu")
-            if getattr(bp_, f) is not None
-            and getattr(bp_, f).ndim > getattr(_POLY_BASE_RANK, f)
-        }
-        return dataclasses.replace(bp_, **upd) if upd else bp_
 
     outs = []
     for i in range(n_full):
