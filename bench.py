@@ -292,9 +292,10 @@ def _config5_summary(dev, B=16384):
     # the auto threshold).
     dt_d, conv_d, _, _ = _time_pipeline(bp, theta, X0, opts, dev, certify="device",
                                         fuse=False)
-    # No-compaction comparison row (the headline's auto resolves to the
-    # horizon-2 compacted bulk at this scale: measured +16% on chip).
-    dt_k, conv_k, _, _ = _time_pipeline(bp, theta, X0, opts, dev, bulk_compact=None)
+    # Explicit compaction row (auto keeps it OFF through the relay: the
+    # min-wall A/B win is inside the tunnel's session swing — see
+    # _resolve_bulk_compact and BENCH_NOTES round 5).
+    dt_k, conv_k, _, _ = _time_pipeline(bp, theta, X0, opts, dev, bulk_compact=2)
 
     k = 64
     np_walls = []
@@ -319,8 +320,8 @@ def _config5_summary(dev, B=16384):
         "config5_vs_baseline": round(rate / np_rate, 1),
         "config5_device_certify_rate": round(conv_d / dt_d, 1),
         "config5_device_converged_frac": round(conv_d / B, 4),
-        "config5_nocompact_rate": round(conv_k / dt_k, 1),
-        "config5_nocompact_converged_frac": round(conv_k / B, 4),
+        "config5_compact_rate": round(conv_k / dt_k, 1),
+        "config5_compact_converged_frac": round(conv_k / B, 4),
         "config5_oracle_agree_frac": orc["oracle_agree_frac"],
     }
 

@@ -128,22 +128,24 @@ def _resolve_bulk_max_inner(bulk_max_inner, n: int, polish: bool):
 
 def _resolve_bulk_compact(bulk_compact, B: int, chunk: int, polish: bool,
                           sort_by_difficulty: bool = False):
-    """Resolve bulk_compact="auto": converged-instance compaction pays
-    when the sweep spans many lockstep chunks (measured on chip: +16% at
-    B = 16,384 / chunk = 512, where 32 wide chunks each stop at the
-    horizon and the whole tail merges into ~1 narrow bucket; a LOSS at
-    B = 1,024 / 2 chunks, where the fixed orchestration cost — one done-
-    mask D2H + bucket dispatches — exceeds the saved tail iterations).
-    Horizon 2 = the measured p99 of the families' outer distribution.
+    """Resolve bulk_compact="auto": OFF by default on this stack.
+
+    Converged-instance compaction (batch/compact.py) structurally saves
+    lockstep iterations at sweep scale, and controlled interleaved A/B
+    pairs measured min-wall wins (+9-24% at B = 16,384 / chunk = 512) —
+    but its extra host sync points (the done-mask D2H + bucket
+    dispatches) are exposed to the relay tunnel's latency spikes, and
+    full-bench sessions swung from +24% to −24% run-to-run, while the
+    plain chunked bulk held a stable 27-31k/s.  Auto therefore prefers
+    the stable path here; the mechanism stays available as an explicit
+    horizon (`bulk_compact=2`) and is the right default on
+    directly-attached hardware where a dispatch costs microseconds, not
+    ~10 ms (docs/BENCH_NOTES.md round-5 A/B table).  At few-chunk
+    batches (B < 16·chunk) it is a clean measured loss regardless.
     """
     if bulk_compact != "auto":
         return bulk_compact
-    # An explicitly requested sorted-bucket bulk must not be silently
-    # overridden by the auto policy (compaction takes precedence over
-    # sorting in the dispatch chain below).
-    if sort_by_difficulty:
-        return None
-    return 2 if (polish and B >= 16 * chunk) else None
+    return None
 
 
 def _resolve_fuse(fuse, n, polish, sort_by_difficulty, pipeline_overlap,
